@@ -1,0 +1,62 @@
+"""Distributed-equivalence tests: the sharded lifecycle on an 8-device CPU mesh
+must be bitwise identical to the single-device kernels (SURVEY.md §4's
+distributed test plan)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import fusion_cryptography_tpu as ftpu
+from fusion_cryptography_tpu.parallel import make_mesh, sharded_lifecycle_step
+from fusion_cryptography_tpu.scheme import lifecycle as lc
+from fusion_cryptography_tpu.ops.ntt import ntt_fwd_u
+
+
+@pytest.fixture(scope="module")
+def params():
+    return ftpu.fusion_setup(256, 7)
+
+
+def _reference_unsharded(params, sk, c, al, rank_p):
+    """Single-device recomputation of the sharded step outputs."""
+    ctx = lc._ctx(params)
+    F, plan = ctx["field"], ctx["plan"]
+    a_pad = np.zeros((rank_p, params.degree), dtype=np.int32)
+    a_pad[: params.rank] = np.asarray(params.public_challenge)
+    a_mont = F.to_mont(F.to_unsigned(jnp.asarray(a_pad)))
+    sk_u = ntt_fwd_u(plan, F.to_unsigned(jnp.asarray(sk)))
+    vk_u = F.sum_mod(F.mont_mul(a_mont, sk_u), axis=-2)
+    c_u = ntt_fwd_u(plan, F.to_unsigned(jnp.asarray(c)))
+    sig_u = F.add_mod(F.mont_mul(F.to_mont(c_u)[:, None, :], sk_u[:, 0]), sk_u[:, 1])
+    al_u = ntt_fwd_u(plan, F.to_unsigned(jnp.asarray(al)))
+    agg_u = F.sum_mod(F.mont_mul(F.to_mont(al_u)[:, None, :], sig_u), axis=0)
+    return np.asarray(F.to_centered(vk_u)), np.asarray(F.to_centered(agg_u))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_matches_unsharded(params, mesh_shape):
+    mesh = make_mesh(mesh_shape)
+    step, prepare, rank_p = sharded_lifecycle_step(params, mesh)
+    B = 16
+    sk, c, al = prepare(B, seed=3)
+    vk, agg, eq, norm_ok, w_ok = step(sk, c, al)
+    vk_ref, agg_ref = _reference_unsharded(params, sk, c, al, rank_p)
+    np.testing.assert_array_equal(np.asarray(vk), vk_ref)
+    np.testing.assert_array_equal(np.asarray(agg), agg_ref)
+    assert bool(eq)  # the pipeline's own signatures must verify
+    assert bool(norm_ok) and bool(w_ok)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_lifecycle_128(params):
+    """Second parameter set through the sharded path."""
+    p128 = ftpu.fusion_setup(128, 5)
+    mesh = make_mesh((4, 2))
+    step, prepare, rank_p = sharded_lifecycle_step(p128, mesh)
+    sk, c, al = prepare(8, seed=4)
+    vk, agg, eq, norm_ok, w_ok = step(sk, c, al)
+    vk_ref, agg_ref = _reference_unsharded(p128, sk, c, al, rank_p)
+    np.testing.assert_array_equal(np.asarray(vk), vk_ref)
+    np.testing.assert_array_equal(np.asarray(agg), agg_ref)
+    assert bool(eq) and bool(norm_ok) and bool(w_ok)
