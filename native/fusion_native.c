@@ -1,0 +1,517 @@
+/* fusion_native.c — native host pipeline for the Fusion TPU framework.
+ *
+ * The reference implementation's host costs (SHAKE/SHA3 hashing, repr-string
+ * serialization, XOF byte decoding, seeded sampling — see SURVEY.md §3 hot
+ * paths) dominate end-to-end verify throughput once the lattice math runs on
+ * TPU.  This module implements that entire host pipeline in C with pthread
+ * fan-out, exposed via ctypes (no Python C-API dependency):
+ *
+ *   - Keccak-f[1600] sponge: SHA3-256 and SHAKE256 (FIPS 202);
+ *   - byte -> bounded-coefficient decoder (exact semantics of reference
+ *     fusion/fusion.py:422-481 including the partial Fisher–Yates quirk);
+ *   - polynomial repr serializer (byte-identical to the reference str()
+ *     formats, algebra/polynomials.py:92-93,:257-258 — the wire format);
+ *   - CPython-compatible MT19937 (random.seed(int)/getrandbits/randrange
+ *     semantics) for bit-exact batched key sampling;
+ *   - fused challenge derivation: per (vk_repr, message) item, SHA3 pre-hash,
+ *     decimal rendering, SHAKE256 XOF and coefficient decode, parallelized
+ *     across a thread pool.
+ *
+ * Build: gcc -O3 -shared -fPIC -pthread -o libfusion_native.so fusion_native.c
+ */
+#include <pthread.h>
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+/* ------------------------------------------------------------------ */
+/* Keccak-f[1600] and the FIPS-202 sponge                              */
+/* ------------------------------------------------------------------ */
+
+static const uint64_t KECCAK_RC[24] = {
+    0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808aULL,
+    0x8000000080008000ULL, 0x000000000000808bULL, 0x0000000080000001ULL,
+    0x8000000080008081ULL, 0x8000000000008009ULL, 0x000000000000008aULL,
+    0x0000000000000088ULL, 0x0000000080008009ULL, 0x000000008000000aULL,
+    0x000000008000808bULL, 0x800000000000008bULL, 0x8000000000008089ULL,
+    0x8000000000008003ULL, 0x8000000000008002ULL, 0x8000000000000080ULL,
+    0x000000000000800aULL, 0x800000008000000aULL, 0x8000000080008081ULL,
+    0x8000000000008080ULL, 0x0000000080000001ULL, 0x8000000080008008ULL};
+
+#define ROTL64(x, n) (((x) << (n)) | ((x) >> (64 - (n))))
+
+static void keccakf(uint64_t st[25]) {
+    int round, i, j;
+    uint64_t t, bc[5];
+    for (round = 0; round < 24; round++) {
+        /* theta */
+        for (i = 0; i < 5; i++)
+            bc[i] = st[i] ^ st[i + 5] ^ st[i + 10] ^ st[i + 15] ^ st[i + 20];
+        for (i = 0; i < 5; i++) {
+            t = bc[(i + 4) % 5] ^ ROTL64(bc[(i + 1) % 5], 1);
+            for (j = 0; j < 25; j += 5) st[j + i] ^= t;
+        }
+        /* rho + pi */
+        {
+            static const int rot[25] = {0,  1,  62, 28, 27, 36, 44, 6,  55,
+                                        20, 3,  10, 43, 25, 39, 41, 45, 15,
+                                        21, 8,  18, 2,  61, 56, 14};
+            static const int pi[25] = {0,  6,  12, 18, 24, 3,  9,  10, 16,
+                                       22, 1,  7,  13, 19, 20, 4,  5,  11,
+                                       17, 23, 2,  8,  14, 15, 21};
+            uint64_t tmp[25];
+            for (i = 0; i < 25; i++) tmp[i] = st[i];
+            for (i = 0; i < 25; i++) st[i] = ROTL64(tmp[pi[i]], rot[pi[i]]);
+        }
+        /* chi */
+        for (j = 0; j < 25; j += 5) {
+            for (i = 0; i < 5; i++) bc[i] = st[j + i];
+            for (i = 0; i < 5; i++)
+                st[j + i] = bc[i] ^ ((~bc[(i + 1) % 5]) & bc[(i + 2) % 5]);
+        }
+        /* iota */
+        st[0] ^= KECCAK_RC[round];
+    }
+}
+
+typedef struct {
+    uint64_t st[25];
+    unsigned rate;    /* in bytes */
+    unsigned absorbed;
+} keccak_ctx;
+
+static void keccak_init(keccak_ctx *c, unsigned rate) {
+    memset(c, 0, sizeof(*c));
+    c->rate = rate;
+}
+
+static void keccak_absorb(keccak_ctx *c, const uint8_t *in, size_t len) {
+    uint8_t *state8 = (uint8_t *)c->st;  /* little-endian host assumed (x86/ARM) */
+    while (len > 0) {
+        size_t take = c->rate - c->absorbed;
+        if (take > len) take = len;
+        for (size_t k = 0; k < take; k++) state8[c->absorbed + k] ^= in[k];
+        c->absorbed += (unsigned)take;
+        in += take;
+        len -= take;
+        if (c->absorbed == c->rate) {
+            keccakf(c->st);
+            c->absorbed = 0;
+        }
+    }
+}
+
+static void keccak_finish(keccak_ctx *c, uint8_t domain) {
+    uint8_t *state8 = (uint8_t *)c->st;
+    state8[c->absorbed] ^= domain;
+    state8[c->rate - 1] ^= 0x80;
+    keccakf(c->st);
+    c->absorbed = 0;
+}
+
+static void keccak_squeeze(keccak_ctx *c, uint8_t *out, size_t outlen) {
+    uint8_t *state8 = (uint8_t *)c->st;
+    size_t off = 0;
+    while (off < outlen) {
+        size_t take = c->rate - c->absorbed;
+        if (take > outlen - off) take = outlen - off;
+        memcpy(out + off, state8 + c->absorbed, take);
+        c->absorbed += (unsigned)take;
+        off += take;
+        if (c->absorbed == c->rate) {
+            keccakf(c->st);
+            c->absorbed = 0;
+        }
+    }
+}
+
+void fn_sha3_256(const uint8_t *in, size_t inlen, uint8_t out[32]) {
+    keccak_ctx c;
+    keccak_init(&c, 136);
+    keccak_absorb(&c, in, inlen);
+    keccak_finish(&c, 0x06);
+    keccak_squeeze(&c, out, 32);
+}
+
+void fn_shake256(const uint8_t *in, size_t inlen, uint8_t *out, size_t outlen) {
+    keccak_ctx c;
+    keccak_init(&c, 136);
+    keccak_absorb(&c, in, inlen);
+    keccak_finish(&c, 0x1f);
+    keccak_squeeze(&c, out, outlen);
+}
+
+/* ------------------------------------------------------------------ */
+/* XOF byte -> bounded coefficient decoder                             */
+/* (exact behavior of reference fusion/fusion.py:422-481)              */
+/* ------------------------------------------------------------------ */
+
+/* Reads a big-endian chunk mod `mod` without bignums (mod < 2^31). */
+static uint32_t be_mod(const uint8_t *p, int len, uint32_t mod) {
+    uint64_t acc = 0;
+    for (int i = 0; i < len; i++) acc = ((acc << 8) | p[i]) % mod;
+    return (uint32_t)acc;
+}
+
+/* Decode one polynomial.  Returns 0 on success, -1 if too few bytes. */
+int fn_decode_coeffs(const uint8_t *b, size_t blen, int32_t degree,
+                     int32_t weight_bound, int32_t bound,
+                     int32_t bytes_per_coefficient, int32_t bytes_per_index,
+                     int32_t *out /* [degree] */) {
+    int bytes_for_signums = (weight_bound + 7) / 8;
+    size_t total = (size_t)bytes_for_signums +
+                   (size_t)(bytes_per_coefficient + bytes_per_index) * weight_bound;
+    if (blen < total) return -1;
+    int num_coefs = weight_bound < degree ? weight_bound : degree;
+    if (num_coefs < 1) num_coefs = 1;
+
+    /* signums: big-endian integer over the signum bytes, bit i (LSB-first) */
+    const uint8_t *sb = b;
+    for (int i = 0; i < degree; i++) out[i] = 0;
+    size_t off = (size_t)bytes_for_signums;
+    for (int i = 0; i < weight_bound; i++) {
+        /* bit i of the big-endian integer = byte (from end) i/8, bit i%8 */
+        int byte_from_end = i / 8;
+        int bit = i % 8;
+        int v = (sb[bytes_for_signums - 1 - byte_from_end] >> bit) & 1;
+        int sign = 2 * v - 1;
+        /* (block % bound) + 1; for bound == 1 the magnitude is always 1 but the
+         * bytes are still consumed (keeps the index-stream offsets aligned) */
+        uint32_t mag =
+            bound == 1 ? 1u : be_mod(b + off, bytes_per_coefficient, (uint32_t)bound) + 1u;
+        out[i] = sign * (int32_t)mag;
+        off += (size_t)bytes_per_coefficient;
+    }
+
+    /* partial Fisher–Yates: i from degree-1 down to weight_bound+1 (exclusive
+     * lower bound quirk, fusion.py:473).  Quirk parity: if the byte stream runs
+     * dry the reference's slicing silently truncates and int.from_bytes(b"")
+     * is 0, so trailing swaps use j = 0 — reproduce by clamping the read
+     * length to the remaining buffer (this path is live for the secpar=256
+     * aggregation blocks, whose n is smaller than the full index stream). */
+    if (num_coefs < degree) {
+        for (int i = degree - 1; i > weight_bound; i--) {
+            size_t avail = blen > off ? blen - off : 0;
+            int len = (size_t)bytes_per_index < avail ? bytes_per_index : (int)avail;
+            uint32_t j = len > 0 ? be_mod(b + off, len, (uint32_t)(i + 1)) : 0;
+            off += (size_t)bytes_per_index;
+            int32_t t = out[i];
+            out[i] = out[j];
+            out[j] = t;
+        }
+    }
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* Integer / repr formatting                                           */
+/* ------------------------------------------------------------------ */
+
+static int i32toa(int32_t v, char *dst) {
+    char buf[12];
+    int n = 0, neg = v < 0;
+    uint32_t u = neg ? (uint32_t)(-(int64_t)v) : (uint32_t)v;
+    do {
+        buf[n++] = (char)('0' + u % 10);
+        u /= 10;
+    } while (u);
+    int m = 0;
+    if (neg) dst[m++] = '-';
+    while (n) dst[m++] = buf[--n];
+    return m;
+}
+
+/* "PolynomialNTTRepresentation(<meta>values=[v0, v1, ...])"
+ * meta is the pre-rendered "modulus=..., degree=..., root=..., inv_root=...,
+ * root_order=..., " prefix.  Returns number of bytes written. */
+size_t fn_format_poly(const char *class_name, const char *meta, size_t meta_len,
+                      const char *field_name, const int32_t *values, int32_t degree,
+                      char *dst) {
+    char *p = dst;
+    size_t cl = strlen(class_name);
+    memcpy(p, class_name, cl); p += cl;
+    *p++ = '(';
+    memcpy(p, meta, meta_len); p += meta_len;
+    size_t fl = strlen(field_name);
+    memcpy(p, field_name, fl); p += fl;
+    *p++ = '='; *p++ = '[';
+    for (int i = 0; i < degree; i++) {
+        if (i) { *p++ = ','; *p++ = ' '; }
+        p += i32toa(values[i], p);
+    }
+    *p++ = ']'; *p++ = ')';
+    return (size_t)(p - dst);
+}
+
+/* 256-bit little-endian bytes -> decimal string.  Returns length. */
+size_t fn_u256_to_dec(const uint8_t le_bytes[32], char *dst) {
+    /* 8 x 32-bit limbs, little-endian */
+    uint32_t limbs[8];
+    for (int i = 0; i < 8; i++)
+        limbs[i] = (uint32_t)le_bytes[4 * i] | ((uint32_t)le_bytes[4 * i + 1] << 8) |
+                   ((uint32_t)le_bytes[4 * i + 2] << 16) |
+                   ((uint32_t)le_bytes[4 * i + 3] << 24);
+    char tmp[80];
+    int n = 0;
+    int nonzero = 1;
+    while (nonzero) {
+        /* divide limbs (big number, little-endian limb order) by 10 */
+        uint64_t rem = 0;
+        nonzero = 0;
+        for (int i = 7; i >= 0; i--) {
+            uint64_t cur = (rem << 32) | limbs[i];
+            limbs[i] = (uint32_t)(cur / 10);
+            rem = cur % 10;
+            if (limbs[i]) nonzero = 1;
+        }
+        tmp[n++] = (char)('0' + rem);
+    }
+    for (int i = 0; i < n; i++) dst[i] = tmp[n - 1 - i];
+    return (size_t)n;
+}
+
+/* ------------------------------------------------------------------ */
+/* Fused challenge derivation with a thread pool                       */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    /* shared inputs */
+    const uint8_t *pre_dst;  size_t pre_dst_len;   /* sign_pre_hash_dst */
+    const uint8_t *hash_dst; size_t hash_dst_len;  /* sign_hash_dst */
+    const uint8_t *vk_blob;  const uint64_t *vk_off;   /* n+1 offsets */
+    const uint8_t *msg_blob; const uint64_t *msg_off;  /* n+1 offsets */
+    int32_t n_items;
+    int32_t degree, weight_bound, bound, bpc, bpi;
+    size_t xof_len;
+    int32_t *out_coeffs;     /* [n_items * degree] */
+    uint8_t *out_prehash;    /* [n_items * 32] little-endian digests */
+    /* work counter */
+    int32_t next;
+    pthread_mutex_t lock;
+    int32_t rc;
+} chall_job;
+
+static void *chall_worker(void *arg) {
+    chall_job *J = (chall_job *)arg;
+    size_t payload_cap = 0;
+    uint8_t *payload = NULL;
+    uint8_t *xof = (uint8_t *)malloc(J->xof_len);
+    for (;;) {
+        pthread_mutex_lock(&J->lock);
+        int32_t i = J->next++;
+        pthread_mutex_unlock(&J->lock);
+        if (i >= J->n_items) break;
+
+        /* 1. pre-hash: sha3_256(pre_dst + "," + msg) -> little-endian int */
+        size_t mlen = (size_t)(J->msg_off[i + 1] - J->msg_off[i]);
+        size_t plen = J->pre_dst_len + 1 + mlen;
+        if (plen > payload_cap) { payload = (uint8_t *)realloc(payload, plen); payload_cap = plen; }
+        memcpy(payload, J->pre_dst, J->pre_dst_len);
+        payload[J->pre_dst_len] = ',';
+        memcpy(payload + J->pre_dst_len + 1, J->msg_blob + J->msg_off[i], mlen);
+        uint8_t digest[32];
+        fn_sha3_256(payload, plen, digest);
+        memcpy(J->out_prehash + 32 * i, digest, 32);
+
+        /* 2. decimal string of the little-endian integer */
+        char dec[80];
+        size_t dec_len = fn_u256_to_dec(digest, dec);
+
+        /* 3. payload = hash_dst + "," + vk_repr + "," + dec */
+        size_t vlen = (size_t)(J->vk_off[i + 1] - J->vk_off[i]);
+        size_t plen2 = J->hash_dst_len + 1 + vlen + 1 + dec_len;
+        if (plen2 > payload_cap) { payload = (uint8_t *)realloc(payload, plen2); payload_cap = plen2; }
+        uint8_t *p = payload;
+        memcpy(p, J->hash_dst, J->hash_dst_len); p += J->hash_dst_len;
+        *p++ = ',';
+        memcpy(p, J->vk_blob + J->vk_off[i], vlen); p += vlen;
+        *p++ = ',';
+        memcpy(p, dec, dec_len); p += dec_len;
+
+        /* 4. SHAKE256 + decode */
+        fn_shake256(payload, plen2, xof, J->xof_len);
+        if (fn_decode_coeffs(xof, J->xof_len, J->degree, J->weight_bound, J->bound,
+                             J->bpc, J->bpi, J->out_coeffs + (size_t)i * J->degree) != 0) {
+            pthread_mutex_lock(&J->lock);
+            J->rc = -1;
+            pthread_mutex_unlock(&J->lock);
+        }
+    }
+    free(payload);
+    free(xof);
+    return NULL;
+}
+
+int fn_derive_challenges(const uint8_t *pre_dst, size_t pre_dst_len,
+                         const uint8_t *hash_dst, size_t hash_dst_len,
+                         const uint8_t *vk_blob, const uint64_t *vk_off,
+                         const uint8_t *msg_blob, const uint64_t *msg_off,
+                         int32_t n_items, int32_t degree, int32_t weight_bound,
+                         int32_t bound, int32_t bpc, int32_t bpi, size_t xof_len,
+                         int32_t n_threads, int32_t *out_coeffs,
+                         uint8_t *out_prehash) {
+    chall_job J;
+    memset(&J, 0, sizeof(J));
+    J.pre_dst = pre_dst; J.pre_dst_len = pre_dst_len;
+    J.hash_dst = hash_dst; J.hash_dst_len = hash_dst_len;
+    J.vk_blob = vk_blob; J.vk_off = vk_off;
+    J.msg_blob = msg_blob; J.msg_off = msg_off;
+    J.n_items = n_items; J.degree = degree; J.weight_bound = weight_bound;
+    J.bound = bound; J.bpc = bpc; J.bpi = bpi; J.xof_len = xof_len;
+    J.out_coeffs = out_coeffs; J.out_prehash = out_prehash;
+    pthread_mutex_init(&J.lock, NULL);
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 16) n_threads = 16;
+    pthread_t th[16];
+    for (int t = 0; t < n_threads; t++) pthread_create(&th[t], NULL, chall_worker, &J);
+    for (int t = 0; t < n_threads; t++) pthread_join(th[t], NULL);
+    pthread_mutex_destroy(&J.lock);
+    return J.rc;
+}
+
+/* Decode a contiguous run of equal-size alpha blocks (aggregation coefs). */
+int fn_decode_blocks(const uint8_t *b, size_t block_len, int32_t n_blocks,
+                     int32_t degree, int32_t weight_bound, int32_t bound,
+                     int32_t bpc, int32_t bpi, int32_t *out /* [n*degree] */) {
+    for (int32_t i = 0; i < n_blocks; i++) {
+        if (fn_decode_coeffs(b + (size_t)i * block_len, block_len, degree,
+                             weight_bound, bound, bpc, bpi,
+                             out + (size_t)i * degree) != 0)
+            return -1;
+    }
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* CPython-compatible MT19937 + the reference samplers                 */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    uint32_t mt[624];
+    int mti;
+} mt_state;
+
+static void mt_init_genrand(mt_state *s, uint32_t seed) {
+    s->mt[0] = seed;
+    for (int i = 1; i < 624; i++)
+        s->mt[i] = 1812433253u * (s->mt[i - 1] ^ (s->mt[i - 1] >> 30)) + (uint32_t)i;
+    s->mti = 624;
+}
+
+static void mt_init_by_array(mt_state *s, const uint32_t *key, int key_len) {
+    mt_init_genrand(s, 19650218u);
+    int i = 1, j = 0;
+    int k = 624 > key_len ? 624 : key_len;
+    for (; k; k--) {
+        s->mt[i] = (s->mt[i] ^ ((s->mt[i - 1] ^ (s->mt[i - 1] >> 30)) * 1664525u)) +
+                   key[j] + (uint32_t)j;
+        i++; j++;
+        if (i >= 624) { s->mt[0] = s->mt[623]; i = 1; }
+        if (j >= key_len) j = 0;
+    }
+    for (k = 623; k; k--) {
+        s->mt[i] = (s->mt[i] ^ ((s->mt[i - 1] ^ (s->mt[i - 1] >> 30)) * 1566083941u)) -
+                   (uint32_t)i;
+        i++;
+        if (i >= 624) { s->mt[0] = s->mt[623]; i = 1; }
+    }
+    s->mt[0] = 0x80000000u;
+}
+
+static uint32_t mt_genrand(mt_state *s) {
+    uint32_t y;
+    if (s->mti >= 624) {
+        static const uint32_t mag01[2] = {0u, 0x9908b0dfu};
+        int kk;
+        for (kk = 0; kk < 624 - 397; kk++) {
+            y = (s->mt[kk] & 0x80000000u) | (s->mt[kk + 1] & 0x7fffffffu);
+            s->mt[kk] = s->mt[kk + 397] ^ (y >> 1) ^ mag01[y & 1];
+        }
+        for (; kk < 623; kk++) {
+            y = (s->mt[kk] & 0x80000000u) | (s->mt[kk + 1] & 0x7fffffffu);
+            s->mt[kk] = s->mt[kk + (397 - 624)] ^ (y >> 1) ^ mag01[y & 1];
+        }
+        y = (s->mt[623] & 0x80000000u) | (s->mt[0] & 0x7fffffffu);
+        s->mt[623] = s->mt[396] ^ (y >> 1) ^ mag01[y & 1];
+        s->mti = 0;
+    }
+    y = s->mt[s->mti++];
+    y ^= y >> 11;
+    y ^= (y << 7) & 0x9d2c5680u;
+    y ^= (y << 15) & 0xefc60000u;
+    y ^= y >> 18;
+    return y;
+}
+
+/* CPython random.seed(a) for non-negative a: key = 32-bit digits of a,
+ * little-endian (at least one digit). */
+static void mt_seed_cpython(mt_state *s, uint64_t a) {
+    uint32_t key[2];
+    int len = 0;
+    if (a == 0) { key[0] = 0; len = 1; }
+    else {
+        while (a) { key[len++] = (uint32_t)(a & 0xffffffffu); a >>= 32; }
+    }
+    mt_init_by_array(s, key, len);
+}
+
+/* getrandbits(k) for 1 <= k <= 64, CPython semantics (32-bit words LE). */
+static uint64_t mt_getrandbits(mt_state *s, int k) {
+    if (k <= 32) return (uint64_t)(mt_genrand(s) >> (32 - k));
+    uint64_t lo = mt_genrand(s);
+    uint64_t hi = mt_genrand(s) >> (64 - k);
+    return lo | (hi << 32);
+}
+
+/* randrange(n) == _randbelow_with_getrandbits */
+static uint64_t mt_randbelow(mt_state *s, uint64_t n) {
+    int k = 0;
+    uint64_t tmp = n;
+    while (tmp) { k++; tmp >>= 1; }
+    uint64_t r = mt_getrandbits(s, k);
+    while (r >= n) r = mt_getrandbits(s, k);
+    return r;
+}
+
+/* Batched short-poly sampler: for each seed, reproduce
+ * sample_polynomial_coefficient_representation (polynomials.py:436-467). */
+void fn_sample_short_batch(const uint64_t *seeds, int32_t n_seeds, int32_t degree,
+                           int32_t norm_bound, int32_t weight_bound,
+                           int64_t modulus, int32_t *out /* [n*degree] */) {
+    int32_t num = weight_bound < degree ? weight_bound : degree;
+    if (num < 0) num = 0;
+    int64_t half = modulus / 2;
+    int64_t bound = norm_bound < half ? norm_bound : half;
+    if (bound < 0) bound = 0;
+    for (int32_t s_i = 0; s_i < n_seeds; s_i++) {
+        mt_state st;
+        mt_seed_cpython(&st, seeds[s_i]);
+        int32_t *o = out + (size_t)s_i * degree;
+        for (int32_t i = 0; i < num; i++) {
+            int32_t mag = 1 + (int32_t)mt_randbelow(&st, (uint64_t)bound);
+            int32_t sgn = 1 - 2 * (int32_t)mt_randbelow(&st, 2);
+            o[i] = mag * sgn;
+        }
+        for (int32_t i = num; i < degree; i++) o[i] = 0;
+        if (num < degree) {
+            for (int32_t i = degree - 1; i > 0; i--) {
+                uint32_t j = (uint32_t)mt_randbelow(&st, (uint64_t)i + 1);
+                int32_t t = o[i]; o[i] = o[j]; o[j] = t;
+            }
+        }
+    }
+}
+
+/* Batched uniform NTT sampler (polynomials.py:470-488). */
+void fn_sample_uniform_batch(const uint64_t *seeds, int32_t n_seeds, int32_t degree,
+                             int64_t modulus, int32_t *out /* [n*degree] */) {
+    int64_t half = modulus / 2;
+    for (int32_t s_i = 0; s_i < n_seeds; s_i++) {
+        mt_state st;
+        mt_seed_cpython(&st, seeds[s_i]);
+        int32_t *o = out + (size_t)s_i * degree;
+        for (int32_t i = 0; i < degree; i++)
+            o[i] = (int32_t)((int64_t)mt_randbelow(&st, (uint64_t)modulus) - half);
+    }
+}
