@@ -1,0 +1,61 @@
+"""Coefficient-sharded NTT vs the single-device butterfly kernels: bitwise."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from fusion_cryptography_tpu.ops.field import Q, FUSION_FIELD
+from fusion_cryptography_tpu.ops.ntt import make_plan, ntt_fwd, ntt_inv
+from fusion_cryptography_tpu.parallel.distributed_ntt import make_distributed_ntt
+
+needs8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def _mesh(n, name="sp"):
+    return Mesh(np.array(jax.devices()[:n]), (name,))
+
+
+@needs8
+@pytest.mark.parametrize("d,root,shards", [(256, 3337519, 8), (256, 3337519, 4), (64, 23584283, 8)])
+def test_fwd_matches_butterfly(d, root, shards):
+    plan = make_plan(Q, d, root)
+    fwd, inv = make_distributed_ntt(plan, _mesh(shards))
+    rng = np.random.default_rng(d + shards)
+    x = rng.integers(-(Q // 2), Q // 2 + 1, size=(8, d), dtype=np.int64).astype(np.int32)
+    got = np.asarray(fwd(jnp.asarray(x)))
+    expect = np.asarray(ntt_fwd(plan, jnp.asarray(x)))
+    np.testing.assert_array_equal(got, expect)
+
+
+@needs8
+def test_roundtrip_and_inverse_matches():
+    plan = make_plan(Q, 256, 3337519)
+    fwd, inv = make_distributed_ntt(plan, _mesh(8))
+    rng = np.random.default_rng(0)
+    x = rng.integers(-(Q // 2), Q // 2 + 1, size=(4, 256), dtype=np.int64).astype(np.int32)
+    x_hat = fwd(jnp.asarray(x))
+    back = np.asarray(inv(x_hat))
+    np.testing.assert_array_equal(back, x)
+    # inverse agrees with the butterfly INTT on the same NTT-domain input
+    expect = np.asarray(ntt_inv(plan, jnp.asarray(np.asarray(x_hat))))
+    np.testing.assert_array_equal(back, expect)
+
+
+@needs8
+def test_pointwise_product_composes():
+    """Sharded NTT-domain pointwise products behave as ring multiplication."""
+    plan = make_plan(Q, 256, 3337519)
+    F = FUSION_FIELD
+    fwd, inv = make_distributed_ntt(plan, _mesh(8))
+    rng = np.random.default_rng(1)
+    f = rng.integers(-100, 101, size=(2, 256)).astype(np.int32)
+    g = rng.integers(-100, 101, size=(2, 256)).astype(np.int32)
+    fh = F.to_unsigned(jnp.asarray(np.asarray(fwd(jnp.asarray(f)))))
+    gh = F.to_unsigned(jnp.asarray(np.asarray(fwd(jnp.asarray(g)))))
+    prod = F.to_centered(F.mont_mul(F.to_mont(fh), gh))
+    got = np.asarray(inv(prod))
+    from fusion_cryptography_tpu.ops.ntt import negacyclic_poly_mult
+
+    expect = np.asarray(negacyclic_poly_mult(plan, jnp.asarray(f), jnp.asarray(g)))
+    np.testing.assert_array_equal(got, expect)
