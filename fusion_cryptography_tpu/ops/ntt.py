@@ -46,6 +46,12 @@ class NTTPlan:
     inv_stages: Tuple[Tuple[int, int, np.ndarray, np.ndarray], ...]
     n_inv: int
     n_inv_shoup: int
+    # Flat bit-reversed twiddle tables (stage m reads [m:2m]) — the layout the
+    # reference uses (algebra/ntt.py:281), consumed by the Pallas kernels.
+    brp: np.ndarray = None
+    brp_shoup: np.ndarray = None
+    brp_inv: np.ndarray = None
+    brp_inv_shoup: np.ndarray = None
 
     @property
     def modulus(self) -> int:
@@ -106,6 +112,10 @@ def make_plan(modulus: int = Q, degree: int = 256, root: Optional[int] = None) -
         inv_stages=tuple(inv),
         n_inv=n_inv,
         n_inv_shoup=field.shoup(n_inv),
+        brp=np.array(brp, dtype=np.uint32),
+        brp_shoup=np.array([field.shoup(x) for x in brp], dtype=np.uint32),
+        brp_inv=np.array(brp_inv, dtype=np.uint32),
+        brp_inv_shoup=np.array([field.shoup(x) for x in brp_inv], dtype=np.uint32),
     )
 
 
