@@ -32,7 +32,7 @@ def log(msg):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--groups", type=int, default=512)
+    ap.add_argument("--groups", type=int, default=2048)
     ap.add_argument("--signers", type=int, default=4)
     ap.add_argument("--secpar", type=int, default=256)
     ap.add_argument("--reps", type=int, default=3)

@@ -25,15 +25,14 @@ _tried = False
 
 
 def _build() -> bool:
-    try:
-        subprocess.run(
-            ["gcc", "-O3", "-shared", "-fPIC", "-pthread",
-             "-o", str(_LIB_PATH), str(_SRC)],
-            check=True, capture_output=True, timeout=120,
-        )
-        return True
-    except Exception:
-        return False
+    base = ["gcc", "-O3", "-shared", "-fPIC", "-pthread", "-o", str(_LIB_PATH), str(_SRC)]
+    for extra in (["-mavx512f"], []):  # vectorized Keccak when the CPU allows
+        try:
+            subprocess.run(base + extra, check=True, capture_output=True, timeout=120)
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -88,6 +87,31 @@ def _load() -> Optional[ctypes.CDLL]:
             i32p, ctypes.c_int32, ctypes.c_char_p,
         ]
         lib.fn_format_poly.restype = ctypes.c_size_t
+        lib.fn_have_avx512.restype = ctypes.c_int
+        lib.fn_shake256_x8.argtypes = [
+            ctypes.c_char_p, u64p, ctypes.c_int, ctypes.c_int, u8p, ctypes.c_size_t,
+        ]
+        lib.fn_agg_alpha_batch.argtypes = [
+            ctypes.c_char_p, u64p, ctypes.c_int32, ctypes.c_int32, ctypes.c_size_t,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, i32p,
+        ]
+        lib.fn_agg_alpha_batch.restype = ctypes.c_int
+        lib.fn_build_agg_payloads.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,          # agg_dst
+            ctypes.c_char_p, u64p,                     # vk blob + offsets
+            ctypes.c_char_p,                           # prehash digests
+            ctypes.c_char_p, ctypes.c_size_t,          # meta
+            i32p, ctypes.c_int32,                      # c_hat, degree
+            ctypes.c_int32, ctypes.c_int32,            # n_groups, sigs_per_group
+            u8p, u64p,                                 # out blob, out offsets
+        ]
+        lib.fn_build_agg_payloads.restype = ctypes.c_size_t
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.fn_ntt_fwd_batch.argtypes = [
+            i32p, u32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
+        ]
+        lib.fn_ntt_fwd_batch.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -98,6 +122,27 @@ def available() -> bool:
 
 def _as_u8p(buf) -> ctypes.POINTER(ctypes.c_uint8):
     return (ctypes.c_uint8 * len(buf)).from_buffer(buf)
+
+
+def have_avx512() -> bool:
+    lib = _load()
+    return bool(lib is not None and lib.fn_have_avx512())
+
+
+def shake256_x8(payloads: Sequence[bytes], n: int) -> list:
+    """Batch up to 8 equal-block-count SHAKE256 XOFs (n output bytes each)."""
+    lib = _load()
+    nb = {len(p) // 136 + 1 for p in payloads}
+    if len(nb) != 1:
+        raise ValueError("payloads must share an absorb block count")
+    blob, offs = _pack_blobs(list(payloads))
+    out = (ctypes.c_uint8 * (len(payloads) * n))()
+    lib.fn_shake256_x8(
+        blob, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(payloads), nb.pop(), out, n,
+    )
+    raw = bytes(out)
+    return [raw[i * n : (i + 1) * n] for i in range(len(payloads))]
 
 
 def sha3_256(data: bytes) -> bytes:
@@ -175,6 +220,97 @@ def derive_challenges(
     if rc != 0:
         raise ValueError("challenge derivation failed (XOF too short)")
     return out, pre
+
+
+def ntt_fwd_batch(x: np.ndarray, brp: np.ndarray, q: int, n_threads: int = 0) -> np.ndarray:
+    """Host-side batched forward NTT: centered int32[n, d] -> centered int32[n, d]
+    (bit-reversed order), bit-identical to ops/ntt.ntt_fwd."""
+    lib = _load()
+    out = np.ascontiguousarray(x, dtype=np.int32).copy()
+    b = np.ascontiguousarray(brp, dtype=np.uint32)
+    if n_threads <= 0:
+        n_threads = min(16, os.cpu_count() or 1)
+    rc = lib.fn_ntt_fwd_batch(
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        out.shape[0], out.shape[1], q, n_threads,
+    )
+    if rc != 0:
+        raise ValueError("degree too large for host NTT")
+    return out
+
+
+def derive_alphas_fused(
+    agg_dst: bytes,
+    vk_reprs_sorted: Sequence[bytes],
+    prehash_digests: np.ndarray,  # uint8[n_items, 32] little-endian
+    ring_meta: bytes,
+    c_hat: np.ndarray,  # int32[n_items, degree]
+    n_groups: int,
+    sigs_per_group: int,
+    block_len: int,
+    degree: int,
+    weight_bound: int,
+    bound: int,
+    bpc: int,
+    bpi: int,
+    n_threads: int = 0,
+) -> np.ndarray:
+    """Fully-native hash_ag tail: build every group's zip-triples payload in C
+    (vk reprs + decimal prehash + challenge reprs), then batched SHAKE + block
+    decode.  Returns int32[n_groups, sigs_per_group, degree]."""
+    lib = _load()
+    n_items = n_groups * sigs_per_group
+    vk_blob, vk_off = _pack_blobs(list(vk_reprs_sorted))
+    c = np.ascontiguousarray(c_hat, dtype=np.int32)
+    pre = np.ascontiguousarray(prehash_digests, dtype=np.uint8)
+    # capacity bound: per item vk + 80 (dec) + chall repr + fixed punctuation
+    chall_cap = len(ring_meta) + 64 + 13 * degree
+    cap = n_groups * (len(agg_dst) + 4) + sum(len(v) + 96 + chall_cap for v in vk_reprs_sorted)
+    blob = (ctypes.c_uint8 * cap)()
+    offs = np.zeros(n_groups + 1, dtype=np.uint64)
+    lib.fn_build_agg_payloads(
+        agg_dst, len(agg_dst),
+        vk_blob, vk_off.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        pre.ctypes.data_as(ctypes.c_char_p),
+        ring_meta, len(ring_meta),
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), degree,
+        n_groups, sigs_per_group,
+        blob, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    out = np.empty((n_groups, sigs_per_group, degree), dtype=np.int32)
+    if n_threads <= 0:
+        n_threads = min(16, os.cpu_count() or 1)
+    rc = lib.fn_agg_alpha_batch(
+        ctypes.cast(blob, ctypes.c_char_p),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        n_groups, sigs_per_group, block_len, degree, weight_bound, bound, bpc, bpi,
+        n_threads, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise ValueError("aggregation alpha derivation failed")
+    return out
+
+
+def agg_alpha_batch(payloads: Sequence[bytes], sigs_per_group: int, block_len: int,
+                    degree: int, weight_bound: int, bound: int, bpc: int, bpi: int,
+                    n_threads: int = 0) -> np.ndarray:
+    """Batched aggregation XOF + decode: one payload per group ->
+    int32[n_groups, sigs_per_group, degree] alpha coefficient vectors."""
+    lib = _load()
+    blob, offs = _pack_blobs(list(payloads))
+    G = len(payloads)
+    out = np.empty((G, sigs_per_group, degree), dtype=np.int32)
+    if n_threads <= 0:
+        n_threads = min(16, os.cpu_count() or 1)
+    rc = lib.fn_agg_alpha_batch(
+        blob, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        G, sigs_per_group, block_len, degree, weight_bound, bound, bpc, bpi,
+        n_threads, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise ValueError("aggregation alpha derivation failed")
+    return out
 
 
 def sample_short_batch(seeds: Sequence[int], degree: int, norm_bound: int,

@@ -1,16 +1,20 @@
 """Pallas TPU kernels: fused batched NTT / INTT.
 
-The jnp stage-sweep in ops/ntt.py lowers to a chain of XLA ops with HBM
-round-trips possible between stages; these kernels keep an entire batch tile
-resident in VMEM and run all log2(d) butterfly stages in one kernel launch.
+The jnp stage-sweep in ops/ntt.py lowers to a chain of XLA ops with relayouts
+between stages; these kernels keep a batch tile resident in VMEM and run all
+log2(d) butterfly stages in one kernel launch.
 
-Layout: grid over batch tiles of ``TILE`` polynomials; each program loads an
-``int32[TILE, d]`` block (d ∈ {64, 256} → 64–256 KB per buffer, well inside
-VMEM), converts to unsigned residues, runs the unrolled stages with the same
-reshape-butterfly structure as ops/ntt.py (so results are bit-identical), and
-writes centered representatives back.  The flat bit-reversed twiddle tables
-(stage ``m`` reads ``[m:2m]`` — the reference's table layout,
-algebra/ntt.py:281) ride along as small VMEM inputs.
+Mosaic layout note: reshapes that change the *lane* (trailing) dimension are
+unsupported, so the kernel runs TRANSPOSED — the polynomial axis lives on
+sublanes and the batch on lanes.  A tile is ``int32[d, TB]`` (d ∈ {64, 256}
+rows, TB=128/256 batch lanes); stage reshapes then only split leading
+(sublane) dimensions: ``[d, TB] -> [m, 2, t, TB]``, which Mosaic lowers as
+sublane addressing.  The public wrappers transpose at the boundary (XLA fuses
+these into neighbouring ops).
+
+Twiddle tables are the flat bit-reversed layout of the reference
+(algebra/ntt.py:281: stage ``m`` reads ``[m:2m]``), passed as ``(d, 1)`` VMEM
+inputs.  Outputs are bit-identical to ops/ntt.py.
 """
 from __future__ import annotations
 
@@ -31,33 +35,34 @@ _I32 = jnp.int32
 
 
 def _fwd_body(F: Field, d: int, x, tw, tw_sh):
-    lead = x.shape[:-1]
+    """x: uint32[d, TB]; tw/tw_sh: uint32[d, 1]."""
+    TB = x.shape[-1]
     m = 1
     while m < d:
         t = d // (2 * m)
-        x = x.reshape(lead + (m, 2, t))
-        s = tw[m : 2 * m].reshape(m, 1)
-        sh = tw_sh[m : 2 * m].reshape(m, 1)
-        u = x[..., 0, :]
-        v = F.mul_mod_shoup(x[..., 1, :], s, sh)
-        x = jnp.stack([F.add_mod(u, v), F.sub_mod(u, v)], axis=-2)
+        x = x.reshape(m, 2, t, TB)
+        s = tw[m : 2 * m].reshape(m, 1, 1)
+        sh = tw_sh[m : 2 * m].reshape(m, 1, 1)
+        u = x[:, 0]
+        v = F.mul_mod_shoup(x[:, 1], s, sh)
+        x = jnp.stack([F.add_mod(u, v), F.sub_mod(u, v)], axis=1)
         m *= 2
-    return x.reshape(lead + (d,))
+    return x.reshape(d, TB)
 
 
 def _inv_body(F: Field, d: int, x, tw, tw_sh, n_inv: int, n_inv_sh: int):
-    lead = x.shape[:-1]
+    TB = x.shape[-1]
     h = d // 2
     while h >= 1:
         t = d // (2 * h)
-        x = x.reshape(lead + (h, 2, t))
-        s = tw[h : 2 * h].reshape(h, 1)
-        sh = tw_sh[h : 2 * h].reshape(h, 1)
-        u = x[..., 0, :]
-        v = x[..., 1, :]
-        x = jnp.stack([F.add_mod(u, v), F.mul_mod_shoup(F.sub_mod(u, v), s, sh)], axis=-2)
+        x = x.reshape(h, 2, t, TB)
+        s = tw[h : 2 * h].reshape(h, 1, 1)
+        sh = tw_sh[h : 2 * h].reshape(h, 1, 1)
+        u = x[:, 0]
+        v = x[:, 1]
+        x = jnp.stack([F.add_mod(u, v), F.mul_mod_shoup(F.sub_mod(u, v), s, sh)], axis=1)
         h //= 2
-    x = x.reshape(lead + (d,))
+    x = x.reshape(d, TB)
     return F.mul_mod_shoup(x, np.uint32(n_inv), np.uint32(n_inv_sh))
 
 
@@ -78,31 +83,41 @@ def _build(plan: NTTPlan, inverse: bool, tile: int, interpret: bool):
 
     tw_np = plan.brp_inv if inverse else plan.brp
     twsh_np = plan.brp_inv_shoup if inverse else plan.brp_shoup
-    tw_c = jnp.asarray(tw_np)
-    twsh_c = jnp.asarray(twsh_np)
+    tw_c = jnp.asarray(tw_np.reshape(d, 1))
+    twsh_c = jnp.asarray(twsh_np.reshape(d, 1))
 
-    def call(x2d):
-        n = x2d.shape[0]
+    def call(xT):
+        """xT: int32[d, n] (transposed batch)."""
+        n = xT.shape[1]
         grid = (n // tile,)
         return pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((n, d), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((d, n), jnp.int32),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
-                pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((d, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(x2d, tw_c, twsh_c)
+        )(xT, tw_c, twsh_c)
 
     return jax.jit(call)
 
 
+@lru_cache(maxsize=None)
+def _runner(plan: NTTPlan, inverse: bool, tile: int, interpret: bool):
+    inner = _build(plan, inverse, tile, interpret)
+
+    def run2d(x2):
+        """int32[n, d] -> int32[n, d] with transposes fused by XLA."""
+        return inner(x2.T).T
+
+    return jax.jit(run2d)
+
+
 def _run(plan: NTTPlan, x, inverse: bool, tile: int, interpret: bool):
-    """Apply the kernel to int32[..., d], padding the flattened batch to a tile
-    multiple."""
     d = plan.degree
     shape = x.shape
     x2 = x.reshape(-1, d)
@@ -110,7 +125,7 @@ def _run(plan: NTTPlan, x, inverse: bool, tile: int, interpret: bool):
     n_pad = -(-n // tile) * tile
     if n_pad != n:
         x2 = jnp.concatenate([x2, jnp.zeros((n_pad - n, d), jnp.int32)], axis=0)
-    out = _build(plan, inverse, tile, interpret)(x2)
+    out = _runner(plan, inverse, tile, interpret)(x2)
     if n_pad != n:
         out = out[:n]
     return out.reshape(shape)

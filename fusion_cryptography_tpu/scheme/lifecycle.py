@@ -231,19 +231,28 @@ def _agg_alpha_coeffs(
     return out
 
 
+def _challenges_native(
+    params: Params, vk_reprs: Sequence[str], messages: Sequence[str]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Native fused challenge sweep: (coeffs int32[n, d], digests uint8[n, 32])."""
+    from .. import native
+
+    bound, bpc, bpi, n_xof = _xof_geometry(params)
+    return native.derive_challenges(
+        params.sign_pre_hash_dst, params.sign_hash_dst,
+        [r.encode("utf-8") for r in vk_reprs],
+        [m.encode("utf-8") for m in messages],
+        params.degree, params.omega_ch, bound, bpc, bpi, n_xof,
+    )
+
+
 def _challenges_for(
     params: Params, vk_reprs: Sequence[str], messages: Sequence[str]
 ) -> Tuple[List[int], np.ndarray]:
     from .. import native
 
     if native.available() and len(vk_reprs) > 0:
-        bound, bpc, bpi, n_xof = _xof_geometry(params)
-        coeffs, pre_digests = native.derive_challenges(
-            params.sign_pre_hash_dst, params.sign_hash_dst,
-            [r.encode("utf-8") for r in vk_reprs],
-            [m.encode("utf-8") for m in messages],
-            params.degree, params.omega_ch, bound, bpc, bpi, n_xof,
-        )
+        coeffs, pre_digests = _challenges_native(params, vk_reprs, messages)
         pre = [int.from_bytes(bytes(pre_digests[k]), "little") for k in range(len(vk_reprs))]
         return pre, coeffs
     pre = []
@@ -270,10 +279,37 @@ def derive_alphas_grouped(
     the challenge reprs, then per-group aggregation XOF + native block decode —
     this amortizes device round-trips, which dominate when the chip is remote.
     """
+    from math import ceil, log2
+
+    from .. import native
+
     G, N = n_groups, group_size
     assert len(vk_reprs_flat) == G * N == len(messages_flat)
-    pre, cc = _challenges_for(params, vk_reprs_flat, messages_flat)
     ctx = _ctx(params)
+
+    if native.available():
+        cc, digests = _challenges_native(params, vk_reprs_flat, messages_flat)
+        # host-side NTT keeps the hash pipeline off the device (no mid-stream
+        # host<->device round trip just to serialize challenge reprs)
+        c_hat = native.ntt_fwd_batch(cc, ctx["plan"].brp, params.modulus)
+        block = agg_block_len(
+            params.secpar, params.degree, params.modulus, params.beta_ag, params.omega_ag
+        )
+        bound = max(1, min(params.modulus // 2, params.beta_ag))
+        bpc = ceil((log2(bound) + 1 + params.secpar) / 8)
+        bpi = ceil((log2(params.degree) + params.secpar) / 8)
+        meta = serial._ring_meta(
+            params.modulus, params.degree, params.root, params.inv_root, params.root_order
+        )
+        alphas = native.derive_alphas_fused(
+            params.agg_xof_dst,
+            [r.encode("utf-8") for r in vk_reprs_flat],
+            digests, meta, c_hat, G, N, block,
+            params.degree, params.omega_ag, bound, bpc, bpi,
+        )
+        return cc.reshape(G, N, params.degree), alphas
+
+    pre, cc = _challenges_for(params, vk_reprs_flat, messages_flat)
     c_hat = np.asarray(
         ctx["field"].to_centered(
             ntt_fwd_u(ctx["plan"], ctx["field"].to_unsigned(jnp.asarray(cc)))
@@ -283,9 +319,7 @@ def derive_alphas_grouped(
     alphas = np.empty((G, N, params.degree), dtype=np.int32)
     for g in range(G):
         sl = slice(g * N, (g + 1) * N)
-        alphas[g] = _agg_alpha_coeffs(
-            params, vk_reprs_flat[sl], pre[sl], chall_reprs[sl]
-        )
+        alphas[g] = _agg_alpha_coeffs(params, vk_reprs_flat[sl], pre[sl], chall_reprs[sl])
     return cc.reshape(G, N, params.degree), alphas
 
 
@@ -296,9 +330,40 @@ def derive_alphas(
     key_reprs: Optional[Sequence[str]] = None,
 ) -> Tuple[List[int], np.ndarray, np.ndarray]:
     """Full hash_ag pipeline on already-sorted inputs: returns (prehashed ints,
-    challenge coeffs int32[N,d], alpha coeffs int32[N,d])."""
-    pre, c_coeffs = _challenges_for(params, vk_reprs, messages)
+    challenge coeffs int32[N,d], alpha coeffs int32[N,d]).
+
+    ``key_reprs`` overrides the reprs hashed in the aggregation preimage (the
+    KAT generator hashes (sk, vk) tuple reprs, fusion generate_KAT_values.py:120-133).
+    """
+    from math import ceil, log2
+
+    from .. import native
+
     ctx = _ctx(params)
+    N = len(vk_reprs)
+    if native.available() and N > 0:
+        cc, digests = _challenges_native(params, vk_reprs, messages)
+        c_hat = native.ntt_fwd_batch(cc, ctx["plan"].brp, params.modulus)
+        block = agg_block_len(
+            params.secpar, params.degree, params.modulus, params.beta_ag, params.omega_ag
+        )
+        bound = max(1, min(params.modulus // 2, params.beta_ag))
+        bpc = ceil((log2(bound) + 1 + params.secpar) / 8)
+        bpi = ceil((log2(params.degree) + params.secpar) / 8)
+        meta = serial._ring_meta(
+            params.modulus, params.degree, params.root, params.inv_root, params.root_order
+        )
+        hashed = key_reprs if key_reprs is not None else vk_reprs
+        alphas = native.derive_alphas_fused(
+            params.agg_xof_dst,
+            [r.encode("utf-8") for r in hashed],
+            digests, meta, c_hat, 1, N, block,
+            params.degree, params.omega_ag, bound, bpc, bpi,
+        )
+        pre = [int.from_bytes(bytes(digests[k]), "little") for k in range(N)]
+        return pre, cc, alphas[0]
+
+    pre, c_coeffs = _challenges_for(params, vk_reprs, messages)
     c_hat = np.asarray(
         ctx["field"].to_centered(ntt_fwd_u(ctx["plan"], ctx["field"].to_unsigned(jnp.asarray(c_coeffs))))
     )

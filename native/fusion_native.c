@@ -272,6 +272,127 @@ size_t fn_u256_to_dec(const uint8_t le_bytes[32], char *dst) {
 }
 
 /* ------------------------------------------------------------------ */
+/* 8-way vectorized Keccak (AVX-512): batch independent SHAKE256 XOFs  */
+/* ------------------------------------------------------------------ */
+
+#if defined(__AVX512F__)
+#include <immintrin.h>
+
+static void keccakf_x8(__m512i st[25]) {
+    __m512i bc[5], t;
+    for (int round = 0; round < 24; round++) {
+        for (int i = 0; i < 5; i++)
+            bc[i] = _mm512_xor_si512(
+                _mm512_xor_si512(_mm512_xor_si512(st[i], st[i + 5]), _mm512_xor_si512(st[i + 10], st[i + 15])),
+                st[i + 20]);
+        for (int i = 0; i < 5; i++) {
+            t = _mm512_xor_si512(bc[(i + 4) % 5],
+                                 _mm512_rolv_epi64(bc[(i + 1) % 5], _mm512_set1_epi64(1)));
+            for (int j = 0; j < 25; j += 5) st[j + i] = _mm512_xor_si512(st[j + i], t);
+        }
+        {
+            static const int rot[25] = {0,  1,  62, 28, 27, 36, 44, 6,  55,
+                                        20, 3,  10, 43, 25, 39, 41, 45, 15,
+                                        21, 8,  18, 2,  61, 56, 14};
+            static const int pi[25] = {0,  6,  12, 18, 24, 3,  9,  10, 16,
+                                       22, 1,  7,  13, 19, 20, 4,  5,  11,
+                                       17, 23, 2,  8,  14, 15, 21};
+            __m512i tmp[25];
+            for (int i = 0; i < 25; i++) tmp[i] = st[i];
+            for (int i = 0; i < 25; i++)
+                st[i] = _mm512_rolv_epi64(tmp[pi[i]], _mm512_set1_epi64(rot[pi[i]]));
+        }
+        for (int j = 0; j < 25; j += 5) {
+            for (int i = 0; i < 5; i++) bc[i] = st[j + i];
+            for (int i = 0; i < 5; i++)
+                st[j + i] = _mm512_xor_si512(
+                    bc[i], _mm512_andnot_si512(bc[(i + 1) % 5], bc[(i + 2) % 5]));
+        }
+        st[0] = _mm512_xor_si512(st[0], _mm512_set1_epi64((long long)KECCAK_RC[round]));
+    }
+}
+
+static int have_avx512(void) { return __builtin_cpu_supports("avx512f"); }
+
+/* 8 SHAKE256 XOFs with EQUAL absorb block counts, vectorized.
+ * payloads: lens[i] bytes at ptrs[i]; each must produce exactly `nblocks`
+ * rate-136 blocks after pad10*1.  out: 8 contiguous outputs of outlen bytes. */
+static void shake256_x8(const uint8_t *ptrs[8], const size_t lens[8], int nblocks,
+                        uint8_t *out, size_t outlen) {
+    __m512i st[25];
+    for (int i = 0; i < 25; i++) st[i] = _mm512_setzero_si512();
+    uint64_t blk[8][17] __attribute__((aligned(64)));
+    for (int b = 0; b < nblocks; b++) {
+        for (int lane = 0; lane < 8; lane++) {
+            uint8_t tmp[136];
+            size_t start = (size_t)b * 136;
+            size_t len = lens[lane];
+            size_t n = len > start ? (len - start < 136 ? len - start : 136) : 0;
+            memcpy(tmp, ptrs[lane] + start, n);
+            memset(tmp + n, 0, 136 - n);
+            if (n < 136) tmp[n] ^= 0x1f; /* pad start (only in the final block) */
+            if (b == nblocks - 1) tmp[135] ^= 0x80;
+            memcpy(blk[lane], tmp, 136);
+        }
+        for (int w = 0; w < 17; w++) {
+            __m512i v = _mm512_set_epi64(
+                (long long)blk[7][w], (long long)blk[6][w], (long long)blk[5][w],
+                (long long)blk[4][w], (long long)blk[3][w], (long long)blk[2][w],
+                (long long)blk[1][w], (long long)blk[0][w]);
+            st[w] = _mm512_xor_si512(st[w], v);
+        }
+        keccakf_x8(st);
+    }
+    /* squeeze: extract one full 136-byte rate block per lane at a time */
+    size_t produced = 0;
+    uint64_t wordbuf[17 * 8] __attribute__((aligned(64)));
+    while (produced < outlen) {
+        for (int w = 0; w < 17; w++)
+            _mm512_store_si512((__m512i *)&wordbuf[w * 8], st[w]);
+        size_t take = outlen - produced < 136 ? outlen - produced : 136;
+        for (int lane = 0; lane < 8; lane++) {
+            uint64_t tmp[17];
+            for (int w = 0; w < 17; w++) tmp[w] = wordbuf[w * 8 + lane];
+            memcpy(out + (size_t)lane * outlen + produced, tmp, take);
+        }
+        produced += take;
+        if (produced < outlen) keccakf_x8(st);
+    }
+}
+#else
+static int have_avx512(void) { return 0; }
+static void shake256_x8(const uint8_t *ptrs[8], const size_t lens[8], int nblocks,
+                        uint8_t *out, size_t outlen) {
+    (void)ptrs; (void)lens; (void)nblocks; (void)out; (void)outlen;
+}
+#endif
+
+int fn_have_avx512(void) { return have_avx512(); }
+
+/* Exported: batch of n equal-block-count SHAKE256 XOFs (n <= 8 real lanes;
+ * unused lanes duplicate lane 0).  For testing and reuse. */
+void fn_shake256_x8(const uint8_t *blob, const uint64_t *off /* n+1 */, int n,
+                    int nblocks, uint8_t *out, size_t outlen) {
+    const uint8_t *ptrs[8];
+    size_t lens[8];
+    for (int i = 0; i < 8; i++) {
+        int src = i < n ? i : 0;
+        ptrs[i] = blob + off[src];
+        lens[i] = (size_t)(off[src + 1] - off[src]);
+    }
+    if (have_avx512()) {
+        uint8_t *tmp = (uint8_t *)malloc(8 * outlen);
+        shake256_x8(ptrs, lens, nblocks, tmp, outlen);
+        for (int i = 0; i < n; i++)
+            memcpy(out + (size_t)i * outlen, tmp + (size_t)i * outlen, outlen);
+        free(tmp);
+    } else {
+        for (int i = 0; i < n; i++)
+            fn_shake256(ptrs[i], lens[i], out + (size_t)i * outlen, outlen);
+    }
+}
+
+/* ------------------------------------------------------------------ */
 /* Fused challenge derivation with a thread pool                       */
 /* ------------------------------------------------------------------ */
 
@@ -286,61 +407,115 @@ typedef struct {
     size_t xof_len;
     int32_t *out_coeffs;     /* [n_items * degree] */
     uint8_t *out_prehash;    /* [n_items * 32] little-endian digests */
+    /* phase-2 scratch */
+    uint8_t **payloads;
+    size_t *payload_lens;
+    int32_t *order;          /* item indices sorted by absorb block count */
     /* work counter */
     int32_t next;
     pthread_mutex_t lock;
     int32_t rc;
 } chall_job;
 
-static void *chall_worker(void *arg) {
+static void chall_build_payload(chall_job *J, int32_t i) {
+    /* 1. pre-hash: sha3_256(pre_dst + "," + msg) -> little-endian int */
+    uint8_t head[4096];
+    size_t mlen = (size_t)(J->msg_off[i + 1] - J->msg_off[i]);
+    size_t plen = J->pre_dst_len + 1 + mlen;
+    uint8_t *pre = plen <= sizeof head ? head : (uint8_t *)malloc(plen);
+    memcpy(pre, J->pre_dst, J->pre_dst_len);
+    pre[J->pre_dst_len] = ',';
+    memcpy(pre + J->pre_dst_len + 1, J->msg_blob + J->msg_off[i], mlen);
+    uint8_t digest[32];
+    fn_sha3_256(pre, plen, digest);
+    if (pre != head) free(pre);
+    memcpy(J->out_prehash + 32 * i, digest, 32);
+
+    /* 2. decimal string of the little-endian integer */
+    char dec[80];
+    size_t dec_len = fn_u256_to_dec(digest, dec);
+
+    /* 3. payload = hash_dst + "," + vk_repr + "," + dec */
+    size_t vlen = (size_t)(J->vk_off[i + 1] - J->vk_off[i]);
+    size_t plen2 = J->hash_dst_len + 1 + vlen + 1 + dec_len;
+    uint8_t *p = (uint8_t *)malloc(plen2);
+    J->payloads[i] = p;
+    J->payload_lens[i] = plen2;
+    memcpy(p, J->hash_dst, J->hash_dst_len); p += J->hash_dst_len;
+    *p++ = ',';
+    memcpy(p, J->vk_blob + J->vk_off[i], vlen); p += vlen;
+    *p++ = ',';
+    memcpy(p, dec, dec_len);
+}
+
+static void chall_finish_item(chall_job *J, int32_t i, const uint8_t *xof) {
+    if (fn_decode_coeffs(xof, J->xof_len, J->degree, J->weight_bound, J->bound,
+                         J->bpc, J->bpi, J->out_coeffs + (size_t)i * J->degree) != 0) {
+        pthread_mutex_lock(&J->lock);
+        J->rc = -1;
+        pthread_mutex_unlock(&J->lock);
+    }
+}
+
+static inline int absorb_blocks(size_t len) { return (int)(len / 136) + 1; }
+
+static void *chall_worker_phase1(void *arg) {
     chall_job *J = (chall_job *)arg;
-    size_t payload_cap = 0;
-    uint8_t *payload = NULL;
-    uint8_t *xof = (uint8_t *)malloc(J->xof_len);
     for (;;) {
         pthread_mutex_lock(&J->lock);
         int32_t i = J->next++;
         pthread_mutex_unlock(&J->lock);
         if (i >= J->n_items) break;
+        chall_build_payload(J, i);
+    }
+    return NULL;
+}
 
-        /* 1. pre-hash: sha3_256(pre_dst + "," + msg) -> little-endian int */
-        size_t mlen = (size_t)(J->msg_off[i + 1] - J->msg_off[i]);
-        size_t plen = J->pre_dst_len + 1 + mlen;
-        if (plen > payload_cap) { payload = (uint8_t *)realloc(payload, plen); payload_cap = plen; }
-        memcpy(payload, J->pre_dst, J->pre_dst_len);
-        payload[J->pre_dst_len] = ',';
-        memcpy(payload + J->pre_dst_len + 1, J->msg_blob + J->msg_off[i], mlen);
-        uint8_t digest[32];
-        fn_sha3_256(payload, plen, digest);
-        memcpy(J->out_prehash + 32 * i, digest, 32);
-
-        /* 2. decimal string of the little-endian integer */
-        char dec[80];
-        size_t dec_len = fn_u256_to_dec(digest, dec);
-
-        /* 3. payload = hash_dst + "," + vk_repr + "," + dec */
-        size_t vlen = (size_t)(J->vk_off[i + 1] - J->vk_off[i]);
-        size_t plen2 = J->hash_dst_len + 1 + vlen + 1 + dec_len;
-        if (plen2 > payload_cap) { payload = (uint8_t *)realloc(payload, plen2); payload_cap = plen2; }
-        uint8_t *p = payload;
-        memcpy(p, J->hash_dst, J->hash_dst_len); p += J->hash_dst_len;
-        *p++ = ',';
-        memcpy(p, J->vk_blob + J->vk_off[i], vlen); p += vlen;
-        *p++ = ',';
-        memcpy(p, dec, dec_len); p += dec_len;
-
-        /* 4. SHAKE256 + decode */
-        fn_shake256(payload, plen2, xof, J->xof_len);
-        if (fn_decode_coeffs(xof, J->xof_len, J->degree, J->weight_bound, J->bound,
-                             J->bpc, J->bpi, J->out_coeffs + (size_t)i * J->degree) != 0) {
-            pthread_mutex_lock(&J->lock);
-            J->rc = -1;
-            pthread_mutex_unlock(&J->lock);
+static void *chall_worker_phase2(void *arg) {
+    /* consume chunks of 8 consecutive (block-count-sorted) items */
+    chall_job *J = (chall_job *)arg;
+    uint8_t *xof8 = (uint8_t *)malloc(8 * J->xof_len);
+    for (;;) {
+        pthread_mutex_lock(&J->lock);
+        int32_t c = J->next;
+        J->next += 8;
+        pthread_mutex_unlock(&J->lock);
+        if (c >= J->n_items) break;
+        int32_t n = J->n_items - c < 8 ? J->n_items - c : 8;
+        const int32_t *idx = J->order + c;
+        int homog = 1;
+        int nb0 = absorb_blocks(J->payload_lens[idx[0]]);
+        for (int k = 1; k < n; k++)
+            if (absorb_blocks(J->payload_lens[idx[k]]) != nb0) { homog = 0; break; }
+        if (homog && n == 8 && have_avx512()) {
+            const uint8_t *ptrs[8];
+            size_t lens[8];
+            for (int k = 0; k < 8; k++) {
+                ptrs[k] = J->payloads[idx[k]];
+                lens[k] = J->payload_lens[idx[k]];
+            }
+            shake256_x8(ptrs, lens, nb0, xof8, J->xof_len);
+            for (int k = 0; k < 8; k++)
+                chall_finish_item(J, idx[k], xof8 + (size_t)k * J->xof_len);
+        } else {
+            for (int k = 0; k < n; k++) {
+                fn_shake256(J->payloads[idx[k]], J->payload_lens[idx[k]], xof8, J->xof_len);
+                chall_finish_item(J, idx[k], xof8);
+            }
         }
     }
-    free(payload);
-    free(xof);
+    free(xof8);
     return NULL;
+}
+
+static chall_job *g_sort_job;  /* qsort_r is glibc-specific; single sort call site */
+
+static int cmp_blocks(const void *a, const void *b) {
+    int32_t ia = *(const int32_t *)a, ib = *(const int32_t *)b;
+    int na = absorb_blocks(g_sort_job->payload_lens[ia]);
+    int nb = absorb_blocks(g_sort_job->payload_lens[ib]);
+    if (na != nb) return na - nb;
+    return ia - ib;
 }
 
 int fn_derive_challenges(const uint8_t *pre_dst, size_t pre_dst_len,
@@ -360,13 +535,185 @@ int fn_derive_challenges(const uint8_t *pre_dst, size_t pre_dst_len,
     J.n_items = n_items; J.degree = degree; J.weight_bound = weight_bound;
     J.bound = bound; J.bpc = bpc; J.bpi = bpi; J.xof_len = xof_len;
     J.out_coeffs = out_coeffs; J.out_prehash = out_prehash;
+    J.payloads = (uint8_t **)calloc(n_items, sizeof(uint8_t *));
+    J.payload_lens = (size_t *)calloc(n_items, sizeof(size_t));
+    J.order = (int32_t *)malloc(n_items * sizeof(int32_t));
     pthread_mutex_init(&J.lock, NULL);
     if (n_threads < 1) n_threads = 1;
     if (n_threads > 16) n_threads = 16;
     pthread_t th[16];
-    for (int t = 0; t < n_threads; t++) pthread_create(&th[t], NULL, chall_worker, &J);
+
+    /* Phase 1: build payloads + prehashes */
+    J.next = 0;
+    for (int t = 0; t < n_threads; t++) pthread_create(&th[t], NULL, chall_worker_phase1, &J);
+    for (int t = 0; t < n_threads; t++) pthread_join(th[t], NULL);
+
+    /* Sort by absorb block count so x8 chunks are homogeneous */
+    for (int32_t i = 0; i < n_items; i++) J.order[i] = i;
+    g_sort_job = &J;
+    qsort(J.order, n_items, sizeof(int32_t), cmp_blocks);
+
+    /* Phase 2: XOF (8-way where possible) + decode */
+    J.next = 0;
+    for (int t = 0; t < n_threads; t++) pthread_create(&th[t], NULL, chall_worker_phase2, &J);
+    for (int t = 0; t < n_threads; t++) pthread_join(th[t], NULL);
+
+    for (int32_t i = 0; i < n_items; i++) free(J.payloads[i]);
+    free(J.payloads);
+    free(J.payload_lens);
+    free(J.order);
+    pthread_mutex_destroy(&J.lock);
+    return J.rc;
+}
+
+/* ------------------------------------------------------------------ */
+/* Batched aggregation XOF: per group, SHAKE256(payload) ->            */
+/* sigs_per_group blocks -> decode each (8-way keccak across groups)   */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    const uint8_t *blob;
+    const uint64_t *off;     /* n_groups + 1 */
+    int32_t n_groups, sigs_per_group;
+    size_t block_len;
+    int32_t degree, weight_bound, bound, bpc, bpi;
+    int32_t *out;            /* [n_groups * sigs_per_group * degree] */
+    int32_t *order;
+    int32_t next;
+    pthread_mutex_t lock;
+    int32_t rc;
+} agg_job;
+
+static agg_job *g_agg_sort_job;
+
+static int agg_cmp_blocks(const void *a, const void *b) {
+    int32_t ia = *(const int32_t *)a, ib = *(const int32_t *)b;
+    size_t la = (size_t)(g_agg_sort_job->off[ia + 1] - g_agg_sort_job->off[ia]);
+    size_t lb = (size_t)(g_agg_sort_job->off[ib + 1] - g_agg_sort_job->off[ib]);
+    int na = absorb_blocks(la), nb = absorb_blocks(lb);
+    if (na != nb) return na - nb;
+    return ia - ib;
+}
+
+static void agg_decode_group(agg_job *J, int32_t g, const uint8_t *xof) {
+    size_t outlen_each = J->block_len;
+    for (int32_t s = 0; s < J->sigs_per_group; s++) {
+        if (fn_decode_coeffs(xof + (size_t)s * outlen_each, outlen_each, J->degree,
+                             J->weight_bound, J->bound, J->bpc, J->bpi,
+                             J->out + ((size_t)g * J->sigs_per_group + s) * J->degree) != 0) {
+            pthread_mutex_lock(&J->lock);
+            J->rc = -1;
+            pthread_mutex_unlock(&J->lock);
+        }
+    }
+}
+
+static void *agg_worker(void *arg) {
+    agg_job *J = (agg_job *)arg;
+    size_t outlen = (size_t)J->sigs_per_group * J->block_len;
+    uint8_t *xof8 = (uint8_t *)malloc(8 * outlen);
+    for (;;) {
+        pthread_mutex_lock(&J->lock);
+        int32_t c = J->next;
+        J->next += 8;
+        pthread_mutex_unlock(&J->lock);
+        if (c >= J->n_groups) break;
+        int32_t n = J->n_groups - c < 8 ? J->n_groups - c : 8;
+        const int32_t *idx = J->order + c;
+        size_t lens[8];
+        const uint8_t *ptrs[8];
+        int homog = 1, nb0 = 0;
+        for (int k = 0; k < n; k++) {
+            ptrs[k] = J->blob + J->off[idx[k]];
+            lens[k] = (size_t)(J->off[idx[k] + 1] - J->off[idx[k]]);
+            int nb = absorb_blocks(lens[k]);
+            if (k == 0) nb0 = nb;
+            else if (nb != nb0) homog = 0;
+        }
+        if (homog && n == 8 && have_avx512()) {
+            shake256_x8(ptrs, lens, nb0, xof8, outlen);
+            for (int k = 0; k < 8; k++)
+                agg_decode_group(J, idx[k], xof8 + (size_t)k * outlen);
+        } else {
+            for (int k = 0; k < n; k++) {
+                fn_shake256(ptrs[k], lens[k], xof8, outlen);
+                agg_decode_group(J, idx[k], xof8);
+            }
+        }
+    }
+    free(xof8);
+    return NULL;
+}
+
+/* Build the per-group aggregation XOF payloads natively:
+ *   payload_g = agg_dst + "," + "[" + join(", ", "(<vk>, <dec(prehash)>, "
+ *               "SignatureChallenge(c_hat=PolynomialNTTRepresentation(<meta>"
+ *               "values=[...]))" ")") + "]"
+ * (wire format of fusion.py:586-589 with the reference's repr grammar).
+ *
+ * vk blob/offsets are the sorted per-signer vk reprs; prehash digests are the
+ * 32-byte little-endian SHA3 digests; c_hat the NTT-domain challenge values.
+ * out_blob must have capacity >= fn_agg_payload_bound(...); offsets out_off
+ * get n_groups+1 entries.  Returns total bytes written. */
+size_t fn_build_agg_payloads(
+    const uint8_t *agg_dst, size_t agg_dst_len,
+    const uint8_t *vk_blob, const uint64_t *vk_off,
+    const uint8_t *prehash /* [n_items*32] */,
+    const char *meta, size_t meta_len,
+    const int32_t *c_hat /* [n_items*degree] */, int32_t degree,
+    int32_t n_groups, int32_t sigs_per_group,
+    uint8_t *out_blob, uint64_t *out_off) {
+    uint8_t *p = out_blob;
+    out_off[0] = 0;
+    for (int32_t g = 0; g < n_groups; g++) {
+        memcpy(p, agg_dst, agg_dst_len); p += agg_dst_len;
+        *p++ = ',';
+        *p++ = '[';
+        for (int32_t s = 0; s < sigs_per_group; s++) {
+            int32_t i = g * sigs_per_group + s;
+            if (s) { *p++ = ','; *p++ = ' '; }
+            *p++ = '(';
+            size_t vlen = (size_t)(vk_off[i + 1] - vk_off[i]);
+            memcpy(p, vk_blob + vk_off[i], vlen); p += vlen;
+            *p++ = ','; *p++ = ' ';
+            p += fn_u256_to_dec(prehash + (size_t)i * 32, (char *)p);
+            *p++ = ','; *p++ = ' ';
+            const char *pre = "SignatureChallenge(c_hat=";
+            size_t plen = strlen(pre);
+            memcpy(p, pre, plen); p += plen;
+            p += fn_format_poly("PolynomialNTTRepresentation", meta, meta_len,
+                                "values", c_hat + (size_t)i * degree, degree, (char *)p);
+            *p++ = ')';
+            *p++ = ')';
+        }
+        *p++ = ']';
+        out_off[g + 1] = (uint64_t)(p - out_blob);
+    }
+    return (size_t)(p - out_blob);
+}
+
+int fn_agg_alpha_batch(const uint8_t *blob, const uint64_t *off, int32_t n_groups,
+                       int32_t sigs_per_group, size_t block_len, int32_t degree,
+                       int32_t weight_bound, int32_t bound, int32_t bpc,
+                       int32_t bpi, int32_t n_threads, int32_t *out) {
+    agg_job J;
+    memset(&J, 0, sizeof(J));
+    J.blob = blob; J.off = off; J.n_groups = n_groups;
+    J.sigs_per_group = sigs_per_group; J.block_len = block_len;
+    J.degree = degree; J.weight_bound = weight_bound; J.bound = bound;
+    J.bpc = bpc; J.bpi = bpi; J.out = out;
+    J.order = (int32_t *)malloc(n_groups * sizeof(int32_t));
+    for (int32_t i = 0; i < n_groups; i++) J.order[i] = i;
+    g_agg_sort_job = &J;
+    qsort(J.order, n_groups, sizeof(int32_t), agg_cmp_blocks);
+    pthread_mutex_init(&J.lock, NULL);
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 16) n_threads = 16;
+    pthread_t th[16];
+    for (int t = 0; t < n_threads; t++) pthread_create(&th[t], NULL, agg_worker, &J);
     for (int t = 0; t < n_threads; t++) pthread_join(th[t], NULL);
     pthread_mutex_destroy(&J.lock);
+    free(J.order);
     return J.rc;
 }
 
@@ -380,6 +727,80 @@ int fn_decode_blocks(const uint8_t *b, size_t block_len, int32_t n_blocks,
                              out + (size_t)i * degree) != 0)
             return -1;
     }
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* Host-side batched forward NTT (for the hash pipeline's challenge    */
+/* reprs — keeps serialization fully on-host; same table layout and    */
+/* bit-identical results as ops/ntt.py)                                */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    int32_t *x;              /* [n, d] centered in/out */
+    const uint32_t *brp;     /* [d] bit-reversed twiddles */
+    int32_t n, d;
+    int64_t q;
+    int32_t next;
+    pthread_mutex_t lock;
+} ntt_job;
+
+static void ntt_fwd_row(int32_t *row, const uint32_t *brp, int32_t d, int64_t q) {
+    /* Cooley–Tukey DIT, standard order in -> bit-reversed out
+     * (algebra/ntt.py:276-290 loop structure). */
+    uint64_t tmp[1024];
+    int64_t half = q / 2;
+    for (int32_t i = 0; i < d; i++) {
+        int64_t v = row[i];
+        tmp[i] = (uint64_t)(v < 0 ? v + q : v);
+    }
+    int32_t t = d, m = 1;
+    while (m < d) {
+        t >>= 1;
+        for (int32_t i = 0; i < m; i++) {
+            int32_t j1 = 2 * i * t;
+            uint64_t s = brp[m + i];
+            for (int32_t j = j1; j < j1 + t; j++) {
+                uint64_t u = tmp[j];
+                uint64_t v = tmp[j + t] * s % (uint64_t)q;
+                uint64_t a = u + v;
+                if (a >= (uint64_t)q) a -= (uint64_t)q;
+                uint64_t b = u >= v ? u - v : u + (uint64_t)q - v;
+                tmp[j] = a;
+                tmp[j + t] = b;
+            }
+        }
+        m <<= 1;
+    }
+    for (int32_t i = 0; i < d; i++) {
+        int64_t v = (int64_t)tmp[i];
+        row[i] = (int32_t)(v > half ? v - q : v);
+    }
+}
+
+static void *ntt_worker(void *arg) {
+    ntt_job *J = (ntt_job *)arg;
+    for (;;) {
+        pthread_mutex_lock(&J->lock);
+        int32_t i = J->next;
+        J->next += 64;
+        pthread_mutex_unlock(&J->lock);
+        if (i >= J->n) break;
+        int32_t end = i + 64 < J->n ? i + 64 : J->n;
+        for (; i < end; i++) ntt_fwd_row(J->x + (size_t)i * J->d, J->brp, J->d, J->q);
+    }
+    return NULL;
+}
+
+int fn_ntt_fwd_batch(int32_t *x, const uint32_t *brp, int32_t n, int32_t d,
+                     int64_t q, int32_t n_threads) {
+    if (d > 1024) return -1;
+    ntt_job J = {x, brp, n, d, q, 0, PTHREAD_MUTEX_INITIALIZER};
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 16) n_threads = 16;
+    pthread_t th[16];
+    for (int t = 0; t < n_threads; t++) pthread_create(&th[t], NULL, ntt_worker, &J);
+    for (int t = 0; t < n_threads; t++) pthread_join(th[t], NULL);
     return 0;
 }
 
