@@ -202,17 +202,8 @@ def sign(params: Params, key: OneTimeKeyTuple, message: str) -> Signature:
     sk, vk = key
     chall = hash_ch(params, vk, message)
     ctx = _lc._ctx(params)
-    sig, _ = ctx["sign_core"](
-        jnp.asarray(sk.sk_hat)[None], jnp.asarray(_intt_challenge_coeffs(params, chall))[None]
-    )
+    sig = ctx["sign_from_c_hat"](jnp.asarray(sk.sk_hat)[None], jnp.asarray(chall.c_hat)[None])
     return Signature(params, np.asarray(sig)[0])
-
-
-def _intt_challenge_coeffs(params: Params, chall: SignatureChallenge) -> np.ndarray:
-    """sign_core expects coefficient-domain challenges; invert the NTT."""
-    from ..ops.ntt import ntt_inv
-
-    return np.asarray(ntt_inv(params.plan, jnp.asarray(chall.c_hat)))
 
 
 def hash_vks_and_ints_and_challs_to_bytes(
@@ -279,17 +270,9 @@ def aggregate(
     s_msgs = [messages[i] for i in order]
     s_sigs = np.stack([signatures[i].signature_hat for i in order])
     alphas = hash_ag(params, s_keys, s_msgs)
-    alpha_coefs = np.stack(
-        [_intt_alpha(params, a) for a in alphas]
-    )
-    agg = _lc._ctx(params)["aggregate_core"](jnp.asarray(s_sigs), jnp.asarray(alpha_coefs))
+    alpha_hats = np.stack([a.alpha_hat for a in alphas])
+    agg = _lc._ctx(params)["aggregate_from_alpha_hat"](jnp.asarray(s_sigs), jnp.asarray(alpha_hats))
     return Signature(params, np.asarray(agg))
-
-
-def _intt_alpha(params: Params, alpha: AggregationCoefficient) -> np.ndarray:
-    from ..ops.ntt import ntt_inv
-
-    return np.asarray(ntt_inv(params.plan, jnp.asarray(alpha.alpha_hat)))
 
 
 def verify(

@@ -81,6 +81,21 @@ def _ctx(params: Params):
         return F.to_centered(agg_u)
 
     @jax.jit
+    def sign_from_c_hat(sk_hat, c_hat):
+        """NTT-domain variant for the object API (challenge already transformed)."""
+        c_mont = F.to_mont(F.to_unsigned(c_hat))[..., None, :]
+        sk_u = F.to_unsigned(sk_hat)
+        sig_u = F.add_mod(F.mont_mul(c_mont, sk_u[..., 0, :, :]), sk_u[..., 1, :, :])
+        return F.to_centered(sig_u)
+
+    @jax.jit
+    def aggregate_from_alpha_hat(sigs, alpha_hat):
+        """NTT-domain variant: (int32[N, rank, d], int32[N, d]) -> int32[rank, d]."""
+        alpha_mont = F.to_mont(F.to_unsigned(alpha_hat))[..., None, :]
+        sig_u = F.to_unsigned(sigs)
+        return F.to_centered(F.sum_mod(F.mont_mul(alpha_mont, sig_u), axis=-3))
+
+    @jax.jit
     def verify_core(agg, vks, c_coeffs, alpha_coeffs):
         """Verify the lattice equation and bound checks.
 
@@ -113,6 +128,8 @@ def _ctx(params: Params):
         sign_core=sign_core,
         aggregate_core=aggregate_core,
         verify_core=verify_core,
+        sign_from_c_hat=sign_from_c_hat,
+        aggregate_from_alpha_hat=aggregate_from_alpha_hat,
     )
 
 
