@@ -135,3 +135,211 @@ def make_distributed_ntt(plan: NTTPlan, mesh: Mesh, axis_name: str = "sp"):
         return apply_sm(w_mont, x)
 
     return fwd, inv
+
+
+# ---------------------------------------------------------------------------
+# Butterfly-exchange (four-step) distributed NTT: O(d/S · log d) local work +
+# ONE all_to_all per transform — the ICI-scaling path.
+# ---------------------------------------------------------------------------
+
+
+def _cyclic_stage_tables(F: Field, n: int, root: int, inverse: bool):
+    """Twiddle tables for a radix-2 cyclic DFT of size n with the given
+    primitive n-th root: DIF (natural in -> bitrev out) for the forward,
+    DIT mirror for the inverse.  Returns a list of (span, w, w_shoup)."""
+    q = F.q
+    w = pow(root, q - 2, q) if inverse else root
+    spans = []
+    s = n // 2
+    while s >= 1:
+        step = n // (2 * s)
+        tbl = np.array([pow(w, j * step, q) for j in range(s)], dtype=np.uint32)
+        sh = np.array([F.shoup(int(t)) for t in tbl], dtype=np.uint32)
+        spans.append((s, tbl, sh))
+        s //= 2
+    if inverse:
+        spans.reverse()  # DIT: spans 1, 2, ..., n/2
+    return spans
+
+
+def _cyclic_dft(F: Field, n: int, x, stages, inverse: bool):
+    """Vectorized radix-2 cyclic DFT on the trailing axis (uint32 residues)."""
+    lead = x.shape[:-1]
+    if not inverse:
+        for s, w, wsh in stages:
+            m = n // (2 * s)
+            x = x.reshape(lead + (m, 2, s))
+            u = x[..., 0, :]
+            v = x[..., 1, :]
+            x = jnp.stack(
+                [F.add_mod(u, v), F.mul_mod_shoup(F.sub_mod(u, v), jnp.asarray(w), jnp.asarray(wsh))],
+                axis=-2,
+            )
+        return x.reshape(lead + (n,))
+    for s, w, wsh in stages:
+        m = n // (2 * s)
+        x = x.reshape(lead + (m, 2, s))
+        u = x[..., 0, :]
+        v = F.mul_mod_shoup(x[..., 1, :], jnp.asarray(w), jnp.asarray(wsh))
+        x = jnp.stack([F.add_mod(u, v), F.sub_mod(u, v)], axis=-2)
+    return x.reshape(lead + (n,))
+
+
+def make_fourstep_ntt(plan: NTTPlan, mesh: Mesh, axis_name: str = "sp"):
+    """Coefficient-sharded negacyclic NTT via the four-step factorization:
+
+      1. scale by psi^j (local; negacyclic -> cyclic reduction),
+      2. local cyclic DFT of size d/S over each device's residue class
+         (coefficients are cyclically sharded: device j1 holds {j ≡ j1 mod S}),
+      3. local twiddle by omega^(j1·k2),
+      4. ONE ``all_to_all`` over ICI exchanging k2-chunks for j1-rows,
+      5. local S-point DFT across the gathered j1 axis.
+
+    Output is in "four-step order" — a fixed permutation of NTT-domain slots
+    that ``fourstep_order(plan, S)`` materializes.  NTT-domain pointwise
+    arithmetic is order-agnostic, and the matching ``inv`` undoes the exact
+    pipeline, so fwd/inv round-trip bitwise and
+    ``inv(fwd(f) ⊙ fwd(g)) == negacyclic f·g`` (tests/test_distributed_ntt.py).
+
+    Returns ``(fwd, inv, layout)`` where fwd/inv map int32[batch, d] with the
+    trailing axis sharded over ``axis_name``, in the cyclic input layout
+    ``x_cyclic[:, j1*d2 + j2] = x[:, j1 + S*j2]`` (helper ``layout``/``unlayout``
+    convert), and four-step-ordered outputs.
+    """
+    F = plan.field
+    q = plan.modulus
+    d = plan.degree
+    psi = plan.root
+    S = mesh.shape[axis_name]
+    if d % S != 0 or (d // S) % S != 0:
+        raise ValueError(f"degree {d} must be divisible by S^2 for S={S} shards")
+    d2 = d // S
+    omega = pow(psi, 2, q)          # order d
+    omega_d1 = pow(omega, S, q)     # order d2: local DFT root
+    omega_d2 = pow(omega, d2, q)    # order S: cross-shard DFT root
+
+    # Step-1 tables: psi^(j1 + S*j2) for each device row j1 -> [S, d2]
+    psi_tbl = np.empty((S, d2), dtype=np.uint32)
+    for j1 in range(S):
+        base = pow(psi, j1, q)
+        mul = pow(psi, S, q)
+        v = base
+        for j2 in range(d2):
+            psi_tbl[j1, j2] = v
+            v = v * mul % q
+    psi_sh = np.vectorize(lambda t: F.shoup(int(t)))(psi_tbl).astype(np.uint32)
+
+    # Step-3 tables: omega^(j1 * k2) with k2 in the local DFT's bitrev order.
+    brv2 = bit_reverse_indices(d2)
+    tw3 = np.empty((S, d2), dtype=np.uint32)
+    for j1 in range(S):
+        for p in range(d2):
+            tw3[j1, p] = pow(omega, j1 * brv2[p], q)
+    tw3_sh = np.vectorize(lambda t: F.shoup(int(t)))(tw3).astype(np.uint32)
+
+    fwd_stages = _cyclic_stage_tables(F, d2, omega_d1, inverse=False)
+    inv_stages = _cyclic_stage_tables(F, d2, omega_d1, inverse=True)
+
+    # Cross-shard S-point DFT matrices (Montgomery-lifted), natural order.
+    m_f = np.array([[pow(omega_d2, j * k, q) for j in range(S)] for k in range(S)], dtype=np.uint32)
+    inv_od2 = pow(omega_d2, q - 2, q)
+    s_inv = pow(S, q - 2, q)
+    m_i = np.array(
+        [[pow(inv_od2, j * k, q) * s_inv % q for j in range(S)] for k in range(S)], dtype=np.uint32
+    )
+    d2_inv = pow(d2, q - 2, q)
+    d2_inv_sh = F.shoup(d2_inv)
+
+    # Inverse of step 1: psi^-(j1 + S*j2)
+    inv_psi_tbl = np.empty((S, d2), dtype=np.uint32)
+    inv_psi = plan.inv_root
+    for j1 in range(S):
+        base = pow(inv_psi, j1, q)
+        mul = pow(inv_psi, S, q)
+        v = base
+        for j2 in range(d2):
+            inv_psi_tbl[j1, j2] = v
+            v = v * mul % q
+    inv_psi_sh = np.vectorize(lambda t: F.shoup(int(t)))(inv_psi_tbl).astype(np.uint32)
+    inv_tw3 = np.empty((S, d2), dtype=np.uint32)
+    inv_om = pow(omega, q - 2, q)
+    for j1 in range(S):
+        for p in range(d2):
+            inv_tw3[j1, p] = pow(inv_om, j1 * brv2[p], q)
+    inv_tw3_sh = np.vectorize(lambda t: F.shoup(int(t)))(inv_tw3).astype(np.uint32)
+
+    def fwd_local(psi_t, psi_s, tw_t, tw_s, x):
+        """x int32[B, d2]: this device's cyclic residue class."""
+        B = x.shape[0]
+        u = F.to_unsigned(x)
+        u = F.mul_mod_shoup(u, psi_t, psi_s)                       # step 1
+        u = _cyclic_dft(F, d2, u, fwd_stages, inverse=False)       # step 2
+        u = F.mul_mod_shoup(u, tw_t, tw_s)                         # step 3
+        u = u.reshape(B, S, d2 // S)
+        u = jax.lax.all_to_all(u, axis_name, 1, 1)                 # step 4 (ICI)
+        # step 5: S-point DFT over the gathered j1 axis (tiny dense contraction)
+        mm = F.to_mont(jnp.asarray(m_f))                           # [S_out, S_in]
+        prod = F.mont_mul(mm[None, :, :, None], u[:, None, :, :])  # [B, S_out, S_in, c]
+        out = F.sum_mod(prod, axis=2)                              # [B, S_out, c]
+        return F.to_centered(out.reshape(B, S * (d2 // S)))
+
+    def inv_local(psi_t, psi_s, tw_t, tw_s, y):
+        B = y.shape[0]
+        u = F.to_unsigned(y).reshape(B, S, d2 // S)
+        mm = F.to_mont(jnp.asarray(m_i))
+        prod = F.mont_mul(mm[None, :, :, None], u[:, None, :, :])
+        u = F.sum_mod(prod, axis=2)                                # undo step 5 (+1/S)
+        u = jax.lax.all_to_all(u, axis_name, 1, 1)                 # undo step 4
+        u = u.reshape(B, d2)
+        u = F.mul_mod_shoup(u, tw_t, tw_s)                         # undo step 3
+        u = _cyclic_dft(F, d2, u, inv_stages, inverse=True)        # undo step 2
+        u = F.mul_mod_shoup(
+            u, jnp.asarray(np.uint32(d2_inv)), jnp.asarray(np.uint32(d2_inv_sh))
+        )
+        u = F.mul_mod_shoup(u, psi_t, psi_s)                       # undo step 1
+        return F.to_centered(u)
+
+    fwd_sm = jax.jit(
+        jax.shard_map(
+            fwd_local, mesh=mesh,
+            in_specs=(P(axis_name, None), P(axis_name, None), P(axis_name, None),
+                      P(axis_name, None), P(None, axis_name)),
+            out_specs=P(None, axis_name),
+            check_vma=False,
+        )
+    )
+    inv_sm = jax.jit(
+        jax.shard_map(
+            inv_local, mesh=mesh,
+            in_specs=(P(axis_name, None), P(axis_name, None), P(axis_name, None),
+                      P(axis_name, None), P(None, axis_name)),
+            out_specs=P(None, axis_name),
+            check_vma=False,
+        )
+    )
+
+    psi_t = jnp.asarray(psi_tbl)
+    psi_s = jnp.asarray(psi_sh)
+    tw_t = jnp.asarray(tw3)
+    tw_s = jnp.asarray(tw3_sh)
+    ipsi_t = jnp.asarray(inv_psi_tbl)
+    ipsi_s = jnp.asarray(inv_psi_sh)
+    itw_t = jnp.asarray(inv_tw3)
+    itw_s = jnp.asarray(inv_tw3_sh)
+
+    def fwd(x_cyclic):
+        return fwd_sm(psi_t, psi_s, tw_t, tw_s, x_cyclic)
+
+    def inv(y):
+        return inv_sm(ipsi_t, ipsi_s, itw_t, itw_s, y)
+
+    def layout(x):
+        """Natural coefficient order int32[B, d] -> the cyclic shard layout."""
+        B = x.shape[0]
+        return jnp.transpose(x.reshape(B, d2, S), (0, 2, 1)).reshape(B, d)
+
+    def unlayout(xc):
+        B = xc.shape[0]
+        return jnp.transpose(xc.reshape(B, S, d2), (0, 2, 1)).reshape(B, d)
+
+    return fwd, inv, layout, unlayout

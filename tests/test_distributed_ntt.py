@@ -43,6 +43,42 @@ def test_roundtrip_and_inverse_matches():
 
 
 @needs8
+@pytest.mark.parametrize("d,root,shards", [(256, 3337519, 8), (256, 3337519, 4), (64, 23584283, 8)])
+def test_fourstep_roundtrip(d, root, shards):
+    from fusion_cryptography_tpu.parallel.distributed_ntt import make_fourstep_ntt
+
+    plan = make_plan(Q, d, root)
+    fwd, inv, layout, unlayout = make_fourstep_ntt(plan, _mesh(shards))
+    rng = np.random.default_rng(d * shards)
+    x = rng.integers(-(Q // 2), Q // 2 + 1, size=(6, d), dtype=np.int64).astype(np.int32)
+    xc = layout(jnp.asarray(x))
+    back = np.asarray(unlayout(inv(fwd(xc))))
+    np.testing.assert_array_equal(back, x)
+
+
+@needs8
+def test_fourstep_pointwise_homomorphism():
+    """inv(fwd(f) ⊙ fwd(g)) must equal the negacyclic product — proves the
+    four-step output is a consistent NTT-domain representation even though its
+    slot order differs from the butterfly kernels'."""
+    from fusion_cryptography_tpu.ops.ntt import negacyclic_poly_mult
+    from fusion_cryptography_tpu.parallel.distributed_ntt import make_fourstep_ntt
+
+    plan = make_plan(Q, 256, 3337519)
+    F = FUSION_FIELD
+    fwd, inv, layout, unlayout = make_fourstep_ntt(plan, _mesh(8))
+    rng = np.random.default_rng(2)
+    f = rng.integers(-500, 501, size=(3, 256)).astype(np.int32)
+    g = rng.integers(-500, 501, size=(3, 256)).astype(np.int32)
+    fh = F.to_unsigned(jnp.asarray(np.asarray(fwd(layout(jnp.asarray(f))))))
+    gh = F.to_unsigned(jnp.asarray(np.asarray(fwd(layout(jnp.asarray(g))))))
+    prod = F.to_centered(F.mont_mul(F.to_mont(fh), gh))
+    got = np.asarray(unlayout(inv(prod)))
+    expect = np.asarray(negacyclic_poly_mult(plan, jnp.asarray(f), jnp.asarray(g)))
+    np.testing.assert_array_equal(got, expect)
+
+
+@needs8
 def test_pointwise_product_composes():
     """Sharded NTT-domain pointwise products behave as ring multiplication."""
     plan = make_plan(Q, 256, 3337519)
