@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import numtheory
-from ..ops.field import get_field
 from ..ops.ntt import make_plan, negacyclic_poly_mult, ntt_fwd, ntt_inv
 from . import serial
 

@@ -25,7 +25,7 @@ no ``jax_enable_x64`` required on CPU or TPU.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field as _dc_field
+from dataclasses import dataclass
 from functools import lru_cache
 from typing import Tuple
 

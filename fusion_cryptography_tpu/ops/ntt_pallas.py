@@ -19,7 +19,6 @@ inputs.  Outputs are bit-identical to ops/ntt.py.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

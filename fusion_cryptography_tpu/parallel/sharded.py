@@ -16,15 +16,12 @@ tests/test_sharded.py).
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.ntt import NTTPlan, ntt_fwd_u, ntt_inv_u
+from ..ops.ntt import ntt_fwd_u, ntt_inv_u
 from ..params import Params
 
 

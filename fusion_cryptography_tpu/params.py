@@ -18,7 +18,7 @@ CH_BD/AG_BD (3/2 at secpar=128) enter only ``beta_vf``.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field as _dc_field
+from dataclasses import dataclass
 from math import ceil, log2
 from typing import Dict, Optional
 

@@ -13,7 +13,7 @@ representatives exactly as the tensors hold them, so round-trips are bitwise.
 from __future__ import annotations
 
 import struct
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
