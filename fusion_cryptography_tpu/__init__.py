@@ -23,6 +23,7 @@ from .scheme import (
     aggregate,
     verify,
     verify_batch,
+    verify_many,
 )
 
 __version__ = "0.1.0"
@@ -38,5 +39,6 @@ __all__ = [
     "aggregate",
     "verify",
     "verify_batch",
+    "verify_many",
     "__version__",
 ]

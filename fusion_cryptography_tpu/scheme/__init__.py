@@ -7,4 +7,5 @@ from .lifecycle import (
     aggregate,
     verify,
     verify_batch,
+    verify_many,
 )

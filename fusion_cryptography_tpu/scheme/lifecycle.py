@@ -523,6 +523,81 @@ def verify(
     return True, ""
 
 
+def verify_many(
+    params: Params,
+    groups: Sequence[Tuple[np.ndarray, Sequence[str], jnp.ndarray]],
+) -> List[Tuple[bool, str]]:
+    """Verify many independent aggregate signatures, possibly with different
+    signer counts, in one device launch.
+
+    ``groups`` is a sequence of (vks int32[N_i, 2, d], messages, agg
+    int32[rank, d]).  Groups are bucketed by N for the hash pipeline, then
+    zero-padded to max N for a single verify_batch call (zero alpha rows
+    contribute nothing to the target sum, so padding is exact).
+    """
+    G = len(groups)
+    results: List[Optional[Tuple[bool, str]]] = [None] * G
+    live: List[int] = []
+    sorted_data: dict = {}
+    for gi, (vks, messages, agg) in enumerate(groups):
+        N = int(np.asarray(vks).shape[0])
+        if N > params.capacity:
+            results[gi] = (False, REASON_TOO_MANY)
+            continue
+        if N != len(messages):
+            results[gi] = (False, REASON_LEN_MISMATCH)
+            continue
+        vk_np = np.asarray(vks)
+        reprs = [serial.vk_str(params, vk_np[i]) for i in range(N)]
+        order = _sorted_order(reprs)
+        sorted_data[gi] = (
+            vk_np[np.array(order)],
+            [reprs[i] for i in order],
+            [messages[i] for i in order],
+            np.asarray(agg),
+        )
+        live.append(gi)
+    if not live:
+        return [r for r in results]  # all failed the guards
+
+    # bucket by N, run the fused hash pipeline per bucket
+    by_n: dict = {}
+    for gi in live:
+        by_n.setdefault(sorted_data[gi][0].shape[0], []).append(gi)
+    n_max = max(by_n)
+    d, rank = params.degree, params.rank
+    cc_pad = np.zeros((len(live), n_max, d), dtype=np.int32)
+    al_pad = np.zeros((len(live), n_max, d), dtype=np.int32)
+    vk_pad = np.zeros((len(live), n_max, 2, d), dtype=np.int32)
+    aggs = np.empty((len(live), rank, d), dtype=np.int32)
+    pos = {gi: k for k, gi in enumerate(live)}
+    for N, gis in by_n.items():
+        reprs_flat = [r for gi in gis for r in sorted_data[gi][1]]
+        msgs_flat = [m for gi in gis for m in sorted_data[gi][2]]
+        cc, al = derive_alphas_grouped(params, reprs_flat, msgs_flat, len(gis), N)
+        for k, gi in enumerate(gis):
+            p = pos[gi]
+            cc_pad[p, :N] = cc[k]
+            al_pad[p, :N] = al[k]
+            vk_pad[p, :N] = sorted_data[gi][0]
+            aggs[p] = sorted_data[gi][3]
+    eq, norm_ok, w_ok = _ctx(params)["verify_core"](
+        jnp.asarray(aggs), jnp.asarray(vk_pad), jnp.asarray(cc_pad), jnp.asarray(al_pad)
+    )
+    eq, norm_ok, w_ok = np.asarray(eq), np.asarray(norm_ok), np.asarray(w_ok)
+    for gi in live:
+        p = pos[gi]
+        if not eq[p]:
+            results[gi] = (False, REASON_TARGET)
+        elif not norm_ok[p]:
+            results[gi] = (False, REASON_NORM)
+        elif not w_ok[p]:
+            results[gi] = (False, REASON_WEIGHT)
+        else:
+            results[gi] = (True, "")
+    return [r for r in results]
+
+
 def verify_batch(
     params: Params,
     vks: jnp.ndarray,

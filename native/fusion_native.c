@@ -41,6 +41,12 @@ static const uint64_t KECCAK_RC[24] = {
 
 #define ROTL64(x, n) (((x) << (n)) | ((x) >> (64 - (n))))
 
+/* rho+pi as a single 24-step cycle walk (no 25-word temp copy). */
+static const int KECCAK_PILN[24] = {10, 7,  11, 17, 18, 3,  5,  16, 8,  21, 24, 4,
+                                    15, 23, 19, 13, 12, 2,  20, 14, 22, 9,  6,  1};
+static const int KECCAK_ROTC[24] = {1,  3,  6,  10, 15, 21, 28, 36, 45, 55, 2,  14,
+                                    27, 41, 56, 8,  25, 43, 62, 18, 39, 61, 20, 44};
+
 static void keccakf(uint64_t st[25]) {
     int round, i, j;
     uint64_t t, bc[5];
@@ -53,16 +59,12 @@ static void keccakf(uint64_t st[25]) {
             for (j = 0; j < 25; j += 5) st[j + i] ^= t;
         }
         /* rho + pi */
-        {
-            static const int rot[25] = {0,  1,  62, 28, 27, 36, 44, 6,  55,
-                                        20, 3,  10, 43, 25, 39, 41, 45, 15,
-                                        21, 8,  18, 2,  61, 56, 14};
-            static const int pi[25] = {0,  6,  12, 18, 24, 3,  9,  10, 16,
-                                       22, 1,  7,  13, 19, 20, 4,  5,  11,
-                                       17, 23, 2,  8,  14, 15, 21};
-            uint64_t tmp[25];
-            for (i = 0; i < 25; i++) tmp[i] = st[i];
-            for (i = 0; i < 25; i++) st[i] = ROTL64(tmp[pi[i]], rot[pi[i]]);
+        t = st[1];
+        for (i = 0; i < 24; i++) {
+            j = KECCAK_PILN[i];
+            bc[0] = st[j];
+            st[j] = ROTL64(t, KECCAK_ROTC[i]);
+            t = bc[0];
         }
         /* chi */
         for (j = 0; j < 25; j += 5) {
@@ -291,16 +293,13 @@ static void keccakf_x8(__m512i st[25]) {
             for (int j = 0; j < 25; j += 5) st[j + i] = _mm512_xor_si512(st[j + i], t);
         }
         {
-            static const int rot[25] = {0,  1,  62, 28, 27, 36, 44, 6,  55,
-                                        20, 3,  10, 43, 25, 39, 41, 45, 15,
-                                        21, 8,  18, 2,  61, 56, 14};
-            static const int pi[25] = {0,  6,  12, 18, 24, 3,  9,  10, 16,
-                                       22, 1,  7,  13, 19, 20, 4,  5,  11,
-                                       17, 23, 2,  8,  14, 15, 21};
-            __m512i tmp[25];
-            for (int i = 0; i < 25; i++) tmp[i] = st[i];
-            for (int i = 0; i < 25; i++)
-                st[i] = _mm512_rolv_epi64(tmp[pi[i]], _mm512_set1_epi64(rot[pi[i]]));
+            __m512i cur = st[1];
+            for (int i = 0; i < 24; i++) {
+                int j = KECCAK_PILN[i];
+                __m512i nxt = st[j];
+                st[j] = _mm512_rolv_epi64(cur, _mm512_set1_epi64(KECCAK_ROTC[i]));
+                cur = nxt;
+            }
         }
         for (int j = 0; j < 25; j += 5) {
             for (int i = 0; i < 5; i++) bc[i] = st[j + i];

@@ -171,3 +171,29 @@ def test_lifecycle_256():
     agg = ftpu.aggregate(params, keys.vk_np(), msgs, sigs.sig)
     ok, why = ftpu.verify(params, keys.vk_np(), msgs, agg)
     assert ok, why
+
+
+def test_verify_many_ragged(params128):
+    """verify_many: mixed signer counts, guard failures and tampering in one
+    batched call."""
+    params = params128
+    keys = ftpu.keygen(params, [201, 202, 203, 204, 205])
+    msgs = ["m1", "m2", "m3", "m4", "m5"]
+    sigs = ftpu.sign(params, keys, msgs)
+    vk = keys.vk_np()
+    sg = np.asarray(sigs.sig)
+    agg2 = np.asarray(ftpu.aggregate(params, vk[:2], msgs[:2], sigs.sig[:2]))
+    agg3 = np.asarray(ftpu.aggregate(params, vk[2:], msgs[2:], sigs.sig[2:]))
+    bad = agg3.copy()
+    bad[0, 0] += 1
+    groups = [
+        (vk[:2], msgs[:2], agg2),              # valid, N=2
+        (vk[2:], msgs[2:], agg3),              # valid, N=3
+        (vk[2:], msgs[2:], bad),               # tampered
+        (vk[:2], ["m1"], agg2),                # length mismatch
+    ]
+    out = lc.verify_many(params, groups)
+    assert out[0] == (True, "")
+    assert out[1] == (True, "")
+    assert out[2] == (False, lc.REASON_TARGET)
+    assert out[3] == (False, lc.REASON_LEN_MISMATCH)
