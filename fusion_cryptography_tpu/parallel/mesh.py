@@ -25,6 +25,6 @@ def make_mesh(
         tp = 2 if n % 2 == 0 and n >= 2 else 1
         axis_sizes = (n // tp, tp)
     dp, tp = axis_sizes
-    if dp * tp != n:
-        raise ValueError(f"mesh {axis_sizes} does not cover {n} devices")
-    return Mesh(np.array(devs).reshape(dp, tp), axis_names)
+    if dp * tp > n:
+        raise ValueError(f"mesh {axis_sizes} needs {dp * tp} devices, have {n}")
+    return Mesh(np.array(devs[: dp * tp]).reshape(dp, tp), axis_names)
