@@ -60,17 +60,26 @@ def main():
     params = ftpu.fusion_setup(args.secpar, 42)
 
     # ---- build G aggregate groups (setup cost, not timed) -----------------
+    # chunked so sk_hat tensors (B x 2 x rank x d) never exceed ~1.4 GB on device
     t0 = time.time()
-    keys = ftpu.keygen(params, list(range(1, G * N + 1)))
     msgs = [f"group{g}:msg{i}" for g in range(G) for i in range(N)]
-    sigs = ftpu.sign(params, keys, msgs)
-    vk_np = keys.vk_np()
-    sig_np = np.asarray(sigs.sig)
-    log(f"keygen+sign for {G*N} keys: {time.time()-t0:.1f}s")
-
-    t0 = time.time()
-    vk_reprs_all = keys.vk_strs()
-    log(f"vk serialization: {time.time()-t0:.2f}s")
+    total = G * N
+    chunk = min(total, 2048)  # fixed chunk shape -> one jit compile
+    vk_parts, sig_parts, repr_parts = [], [], []
+    for lo in range(0, total, chunk):
+        seeds = [lo + 1 + k for k in range(chunk)]  # padded final chunk ok
+        m = (msgs[lo : lo + chunk] + ["pad"] * chunk)[:chunk]
+        keys = ftpu.keygen(params, seeds)
+        sigs = ftpu.sign(params, keys, m)
+        take = min(chunk, total - lo)
+        vk_parts.append(keys.vk_np()[:take])
+        sig_parts.append(np.asarray(sigs.sig)[:take])
+        repr_parts.extend(keys.vk_strs()[:take])
+        del keys, sigs
+    vk_np = np.concatenate(vk_parts)
+    sig_np = np.concatenate(sig_parts)
+    vk_reprs_all = repr_parts
+    log(f"keygen+sign+serialize for {G*N} keys: {time.time()-t0:.1f}s")
 
     # sort within each group by vk repr (canonical aggregation order)
     t0 = time.time()
