@@ -315,6 +315,10 @@ def agg_alpha_batch(payloads: Sequence[bytes], sigs_per_group: int, block_len: i
 
 def sample_short_batch(seeds: Sequence[int], degree: int, norm_bound: int,
                        weight_bound: int, modulus: int) -> np.ndarray:
+    if max(0, min(degree, weight_bound)) > 0 and max(0, min(modulus // 2, norm_bound)) < 1:
+        # mirror the stdlib path: randrange(0) raises (the C path would hit
+        # undefined-width shifts instead of raising)
+        raise ValueError("empty range for randrange() (0, 0, 0)")
     lib = _load()
     s = np.asarray(list(seeds), dtype=np.uint64)
     out = np.empty((len(s), degree), dtype=np.int32)
