@@ -25,14 +25,17 @@ _tried = False
 
 
 def _build() -> bool:
-    base = ["gcc", "-O3", "-shared", "-fPIC", "-pthread", "-o", str(_LIB_PATH), str(_SRC)]
-    for extra in (["-mavx512f"], []):  # vectorized Keccak when the CPU allows
-        try:
-            subprocess.run(base + extra, check=True, capture_output=True, timeout=120)
-            return True
-        except Exception:
-            continue
-    return False
+    # No global -mavx512f: the AVX-512 Keccak carries its own per-function
+    # target attribute and a runtime CPU check, so the rest of the library
+    # never emits AVX-512 instructions (portable to non-AVX-512 hosts).
+    try:
+        subprocess.run(
+            ["gcc", "-O3", "-shared", "-fPIC", "-pthread", "-o", str(_LIB_PATH), str(_SRC)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -120,10 +123,6 @@ def available() -> bool:
     return _load() is not None
 
 
-def _as_u8p(buf) -> ctypes.POINTER(ctypes.c_uint8):
-    return (ctypes.c_uint8 * len(buf)).from_buffer(buf)
-
-
 def have_avx512() -> bool:
     lib = _load()
     return bool(lib is not None and lib.fn_have_avx512())
@@ -131,6 +130,8 @@ def have_avx512() -> bool:
 
 def shake256_x8(payloads: Sequence[bytes], n: int) -> list:
     """Batch up to 8 equal-block-count SHAKE256 XOFs (n output bytes each)."""
+    if not 1 <= len(payloads) <= 8:
+        raise ValueError("shake256_x8 takes 1..8 payloads")
     lib = _load()
     nb = {len(p) // 136 + 1 for p in payloads}
     if len(nb) != 1:
@@ -163,6 +164,8 @@ def decode_coeffs(b: bytes, degree: int, weight_bound: int, bound: int,
                   bpc: int, bpi: int) -> np.ndarray:
     lib = _load()
     out = np.empty(degree, dtype=np.int32)
+    if weight_bound > degree:
+        raise ValueError("weight_bound must not exceed degree")
     rc = lib.fn_decode_coeffs(
         b, len(b), degree, weight_bound, bound, bpc, bpi,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

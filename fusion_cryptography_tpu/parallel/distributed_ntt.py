@@ -201,7 +201,7 @@ def make_fourstep_ntt(plan: NTTPlan, mesh: Mesh, axis_name: str = "sp"):
     pipeline, so fwd/inv round-trip bitwise and
     ``inv(fwd(f) ⊙ fwd(g)) == negacyclic f·g`` (tests/test_distributed_ntt.py).
 
-    Returns ``(fwd, inv, layout)`` where fwd/inv map int32[batch, d] with the
+    Returns ``(fwd, inv, layout, unlayout)`` where fwd/inv map int32[batch, d] with the
     trailing axis sharded over ``axis_name``, in the cyclic input layout
     ``x_cyclic[:, j1*d2 + j2] = x[:, j1 + S*j2]`` (helper ``layout``/``unlayout``
     convert), and four-step-ordered outputs.

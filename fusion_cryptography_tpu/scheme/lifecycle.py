@@ -349,45 +349,27 @@ def derive_alphas(
     """Full hash_ag pipeline on already-sorted inputs: returns (prehashed ints,
     challenge coeffs int32[N,d], alpha coeffs int32[N,d]).
 
-    ``key_reprs`` overrides the reprs hashed in the aggregation preimage (the
-    KAT generator hashes (sk, vk) tuple reprs, fusion generate_KAT_values.py:120-133).
-    """
-    from math import ceil, log2
+    ``key_reprs`` overrides the reprs hashed throughout (both the challenge
+    derivation and the zip-triples preimage — the reference's hash_ag uses the
+    same key objects for both, fusion.py:632-652; the KAT generator exercises
+    this with (sk, vk) tuple reprs)."""
+    reprs = list(key_reprs) if key_reprs is not None else list(vk_reprs)
+    N = len(reprs)
+    pre = [hash_message_to_int(params.sign_pre_hash_dst, m) for m in messages]
 
     from .. import native
 
-    ctx = _ctx(params)
-    N = len(vk_reprs)
     if native.available() and N > 0:
-        cc, digests = _challenges_native(params, vk_reprs, messages)
-        c_hat = native.ntt_fwd_batch(cc, ctx["plan"].brp, params.modulus)
-        block = agg_block_len(
-            params.secpar, params.degree, params.modulus, params.beta_ag, params.omega_ag
-        )
-        bound = max(1, min(params.modulus // 2, params.beta_ag))
-        bpc = ceil((log2(bound) + 1 + params.secpar) / 8)
-        bpi = ceil((log2(params.degree) + params.secpar) / 8)
-        meta = serial._ring_meta(
-            params.modulus, params.degree, params.root, params.inv_root, params.root_order
-        )
-        hashed = key_reprs if key_reprs is not None else vk_reprs
-        alphas = native.derive_alphas_fused(
-            params.agg_xof_dst,
-            [r.encode("utf-8") for r in hashed],
-            digests, meta, c_hat, 1, N, block,
-            params.degree, params.omega_ag, bound, bpc, bpi,
-        )
-        pre = [int.from_bytes(bytes(digests[k]), "little") for k in range(N)]
-        return pre, cc, alphas[0]
+        cc, alphas = derive_alphas_grouped(params, reprs, list(messages), 1, N)
+        return pre, cc[0], alphas[0]
 
-    pre, c_coeffs = _challenges_for(params, vk_reprs, messages)
+    ctx = _ctx(params)
+    _, c_coeffs = _challenges_for(params, reprs, list(messages))
     c_hat = np.asarray(
         ctx["field"].to_centered(ntt_fwd_u(ctx["plan"], ctx["field"].to_unsigned(jnp.asarray(c_coeffs))))
     )
-    chall_reprs = [serial.challenge_str(params, c_hat[i]) for i in range(len(vk_reprs))]
-    alphas = _agg_alpha_coeffs(
-        params, key_reprs if key_reprs is not None else vk_reprs, pre, chall_reprs
-    )
+    chall_reprs = [serial.challenge_str(params, c_hat[i]) for i in range(N)]
+    alphas = _agg_alpha_coeffs(params, reprs, pre, chall_reprs)
     return pre, c_coeffs, alphas
 
 
@@ -452,9 +434,7 @@ def sign(params: Params, keys: KeyBatch, messages: Sequence[str]) -> SignatureBa
     if len(messages) != len(keys):
         raise ValueError("need exactly one message per key")
     vk_reprs = keys.vk_strs()
-    c_coeffs = np.empty((len(keys), params.degree), dtype=np.int32)
-    for k, (vkr, msg) in enumerate(zip(vk_reprs, messages)):
-        _, c_coeffs[k] = _challenge_coeffs(params, vkr, msg)
+    _, c_coeffs = _challenges_for(params, vk_reprs, list(messages))
     sig, _ = _ctx(params)["sign_core"](keys.sk_hat, jnp.asarray(c_coeffs))
     return SignatureBatch(params=params, sig=sig)
 

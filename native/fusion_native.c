@@ -19,6 +19,7 @@
  *
  * Build: gcc -O3 -shared -fPIC -pthread -o libfusion_native.so fusion_native.c
  */
+#define _GNU_SOURCE  /* qsort_r */
 #include <pthread.h>
 #include <stdint.h>
 #include <stdio.h>
@@ -161,6 +162,7 @@ int fn_decode_coeffs(const uint8_t *b, size_t blen, int32_t degree,
                      int32_t weight_bound, int32_t bound,
                      int32_t bytes_per_coefficient, int32_t bytes_per_index,
                      int32_t *out /* [degree] */) {
+    if (weight_bound > degree) return -2;  /* out[] is int32[degree] */
     int bytes_for_signums = (weight_bound + 7) / 8;
     size_t total = (size_t)bytes_for_signums +
                    (size_t)(bytes_per_coefficient + bytes_per_index) * weight_bound;
@@ -277,9 +279,13 @@ size_t fn_u256_to_dec(const uint8_t le_bytes[32], char *dst) {
 /* 8-way vectorized Keccak (AVX-512): batch independent SHAKE256 XOFs  */
 /* ------------------------------------------------------------------ */
 
-#if defined(__AVX512F__)
+#if defined(__x86_64__) && defined(__GNUC__)
 #include <immintrin.h>
 
+/* Compiled with a per-function target so the rest of the library stays free of
+ * AVX-512 instructions (a whole-file -mavx512f lets gcc auto-vectorize scalar
+ * paths and SIGILL on non-AVX-512 hosts); have_avx512() gates at runtime. */
+__attribute__((target("avx512f")))
 static void keccakf_x8(__m512i st[25]) {
     __m512i bc[5], t;
     for (int round = 0; round < 24; round++) {
@@ -316,6 +322,7 @@ static int have_avx512(void) { return __builtin_cpu_supports("avx512f"); }
 /* 8 SHAKE256 XOFs with EQUAL absorb block counts, vectorized.
  * payloads: lens[i] bytes at ptrs[i]; each must produce exactly `nblocks`
  * rate-136 blocks after pad10*1.  out: 8 contiguous outputs of outlen bytes. */
+__attribute__((target("avx512f")))
 static void shake256_x8(const uint8_t *ptrs[8], const size_t lens[8], int nblocks,
                         uint8_t *out, size_t outlen) {
     __m512i st[25];
@@ -372,6 +379,7 @@ int fn_have_avx512(void) { return have_avx512(); }
  * unused lanes duplicate lane 0).  For testing and reuse. */
 void fn_shake256_x8(const uint8_t *blob, const uint64_t *off /* n+1 */, int n,
                     int nblocks, uint8_t *out, size_t outlen) {
+    if (n > 8) n = 8;  /* 8 lanes max; wrapper validates */
     const uint8_t *ptrs[8];
     size_t lens[8];
     for (int i = 0; i < 8; i++) {
@@ -507,12 +515,11 @@ static void *chall_worker_phase2(void *arg) {
     return NULL;
 }
 
-static chall_job *g_sort_job;  /* qsort_r is glibc-specific; single sort call site */
-
-static int cmp_blocks(const void *a, const void *b) {
+static int cmp_blocks_r(const void *a, const void *b, void *arg) {
+    const chall_job *J = (const chall_job *)arg;
     int32_t ia = *(const int32_t *)a, ib = *(const int32_t *)b;
-    int na = absorb_blocks(g_sort_job->payload_lens[ia]);
-    int nb = absorb_blocks(g_sort_job->payload_lens[ib]);
+    int na = absorb_blocks(J->payload_lens[ia]);
+    int nb = absorb_blocks(J->payload_lens[ib]);
     if (na != nb) return na - nb;
     return ia - ib;
 }
@@ -549,8 +556,7 @@ int fn_derive_challenges(const uint8_t *pre_dst, size_t pre_dst_len,
 
     /* Sort by absorb block count so x8 chunks are homogeneous */
     for (int32_t i = 0; i < n_items; i++) J.order[i] = i;
-    g_sort_job = &J;
-    qsort(J.order, n_items, sizeof(int32_t), cmp_blocks);
+    qsort_r(J.order, n_items, sizeof(int32_t), cmp_blocks_r, &J);
 
     /* Phase 2: XOF (8-way where possible) + decode */
     J.next = 0;
@@ -583,12 +589,11 @@ typedef struct {
     int32_t rc;
 } agg_job;
 
-static agg_job *g_agg_sort_job;
-
-static int agg_cmp_blocks(const void *a, const void *b) {
+static int agg_cmp_blocks_r(const void *a, const void *b, void *arg) {
+    const agg_job *J = (const agg_job *)arg;
     int32_t ia = *(const int32_t *)a, ib = *(const int32_t *)b;
-    size_t la = (size_t)(g_agg_sort_job->off[ia + 1] - g_agg_sort_job->off[ia]);
-    size_t lb = (size_t)(g_agg_sort_job->off[ib + 1] - g_agg_sort_job->off[ib]);
+    size_t la = (size_t)(J->off[ia + 1] - J->off[ia]);
+    size_t lb = (size_t)(J->off[ib + 1] - J->off[ib]);
     int na = absorb_blocks(la), nb = absorb_blocks(lb);
     if (na != nb) return na - nb;
     return ia - ib;
@@ -703,8 +708,7 @@ int fn_agg_alpha_batch(const uint8_t *blob, const uint64_t *off, int32_t n_group
     J.bpc = bpc; J.bpi = bpi; J.out = out;
     J.order = (int32_t *)malloc(n_groups * sizeof(int32_t));
     for (int32_t i = 0; i < n_groups; i++) J.order[i] = i;
-    g_agg_sort_job = &J;
-    qsort(J.order, n_groups, sizeof(int32_t), agg_cmp_blocks);
+    qsort_r(J.order, n_groups, sizeof(int32_t), agg_cmp_blocks_r, &J);
     pthread_mutex_init(&J.lock, NULL);
     if (n_threads < 1) n_threads = 1;
     if (n_threads > 16) n_threads = 16;
