@@ -94,6 +94,10 @@ def main():
 
     cc, al = lc.derive_alphas_grouped(params, s_reprs, s_msgs, G, N)
     aggs = lc._ctx(params)["aggregate_core"](jnp.asarray(sig_np[order]), jnp.asarray(al))
+    # production challenge/alpha bounds are 1, so coefficients fit int8 —
+    # quarter the per-verify host->device transfer
+    small = max(params.beta_ch, params.beta_ag) <= 127
+    cdtype = np.int8 if small else np.int32
     aggs.block_until_ready()
     log(f"hash+aggregate setup: {time.time()-t0:.1f}s ({(time.time()-t0)/G*1e3:.1f} ms/group)")
 
@@ -114,7 +118,8 @@ def main():
     def run_e2e():
         occ, oal = lc.derive_alphas_grouped(params, s_reprs, s_msgs, G, N)
         e, _, _ = ftpu.verify_batch(
-            params, grouped_vks, jnp.asarray(occ), jnp.asarray(oal), aggs
+            params, grouped_vks,
+            jnp.asarray(occ.astype(cdtype)), jnp.asarray(oal.astype(cdtype)), aggs
         )
         e.block_until_ready()
 

@@ -101,12 +101,14 @@ def _ctx(params: Params):
 
         agg:   int32[..., rank, d]   aggregate signature (NTT domain)
         vks:   int32[..., N, 2, d]
-        c/alpha coeffs: int32[..., N, d] (coefficient domain, host-decoded)
+        c/alpha coeffs: int8 or int32 [..., N, d] (coefficient domain,
+            host-decoded; the production bounds are ±1 so int8 transfers
+            quarter the host->device traffic)
         Returns bool[...] (eq, norm_ok, weight_ok).
         """
         agg_u = F.to_unsigned(agg)
-        c_u = ntt_fwd_u(plan, F.to_unsigned(c_coeffs))
-        alpha_u = ntt_fwd_u(plan, F.to_unsigned(alpha_coeffs))
+        c_u = ntt_fwd_u(plan, F.to_unsigned(c_coeffs.astype(jnp.int32)))
+        alpha_u = ntt_fwd_u(plan, F.to_unsigned(alpha_coeffs.astype(jnp.int32)))
         vk_u = F.to_unsigned(vks)
         # per-signer target term: vk_left ⊙ c + vk_right
         t = F.add_mod(F.mont_mul(F.to_mont(c_u), vk_u[..., 0, :]), vk_u[..., 1, :])
