@@ -188,6 +188,23 @@ def decode_blocks(b: bytes, block_len: int, n_blocks: int, degree: int,
     return out
 
 
+def pack_reprs(items) -> Tuple[bytes, np.ndarray]:
+    """Pack repr strings/bytes into a (blob, offsets) pair reusable across the
+    challenge and aggregation stages (avoids re-encoding + re-joining ~50 MB of
+    vk reprs per derive call)."""
+    return _pack_blobs([it.encode("utf-8") if isinstance(it, str) else it for it in items])
+
+
+def _as_blob(items_or_packed) -> Tuple[bytes, np.ndarray]:
+    if (
+        isinstance(items_or_packed, tuple)
+        and len(items_or_packed) == 2
+        and isinstance(items_or_packed[0], bytes)
+    ):
+        return items_or_packed
+    return _pack_blobs(list(items_or_packed))
+
+
 def _pack_blobs(items: Sequence[bytes]) -> Tuple[bytes, np.ndarray]:
     offs = np.zeros(len(items) + 1, dtype=np.uint64)
     total = 0
@@ -205,8 +222,8 @@ def derive_challenges(
     """Fused batched hash_ch: returns (coeffs int32[n, degree],
     prehash digests uint8[n, 32] little-endian)."""
     lib = _load()
-    n = len(vk_reprs)
-    vk_blob, vk_off = _pack_blobs(vk_reprs)
+    vk_blob, vk_off = _as_blob(vk_reprs)
+    n = len(vk_off) - 1
     msg_blob, msg_off = _pack_blobs(messages)
     out = np.empty((n, degree), dtype=np.int32)
     pre = np.empty((n, 32), dtype=np.uint8)
@@ -264,12 +281,12 @@ def derive_alphas_fused(
     decode.  Returns int32[n_groups, sigs_per_group, degree]."""
     lib = _load()
     n_items = n_groups * sigs_per_group
-    vk_blob, vk_off = _pack_blobs(list(vk_reprs_sorted))
+    vk_blob, vk_off = _as_blob(vk_reprs_sorted)
     c = np.ascontiguousarray(c_hat, dtype=np.int32)
     pre = np.ascontiguousarray(prehash_digests, dtype=np.uint8)
     # capacity bound: per item vk + 80 (dec) + chall repr + fixed punctuation
     chall_cap = len(ring_meta) + 64 + 13 * degree
-    cap = n_groups * (len(agg_dst) + 4) + sum(len(v) + 96 + chall_cap for v in vk_reprs_sorted)
+    cap = n_groups * (len(agg_dst) + 4) + len(vk_blob) + n_items * (96 + chall_cap)
     blob = (ctypes.c_uint8 * cap)()
     offs = np.zeros(n_groups + 1, dtype=np.uint64)
     lib.fn_build_agg_payloads(

@@ -251,15 +251,17 @@ def _agg_alpha_coeffs(
 
 
 def _challenges_native(
-    params: Params, vk_reprs: Sequence[str], messages: Sequence[str]
+    params: Params, vk_reprs, messages: Sequence[str]
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Native fused challenge sweep: (coeffs int32[n, d], digests uint8[n, 32])."""
+    """Native fused challenge sweep: (coeffs int32[n, d], digests uint8[n, 32]).
+    ``vk_reprs`` may be a list of strs or a pre-packed (blob, offsets) pair."""
     from .. import native
 
     bound, bpc, bpi, n_xof = _xof_geometry(params)
+    packed = vk_reprs if isinstance(vk_reprs, tuple) else native.pack_reprs(vk_reprs)
     return native.derive_challenges(
         params.sign_pre_hash_dst, params.sign_hash_dst,
-        [r.encode("utf-8") for r in vk_reprs],
+        packed,
         [m.encode("utf-8") for m in messages],
         params.degree, params.omega_ch, bound, bpc, bpi, n_xof,
     )
@@ -307,7 +309,8 @@ def derive_alphas_grouped(
     ctx = _ctx(params)
 
     if native.available():
-        cc, digests = _challenges_native(params, vk_reprs_flat, messages_flat)
+        packed = native.pack_reprs(vk_reprs_flat)  # one encode+join for both stages
+        cc, digests = _challenges_native(params, packed, messages_flat)
         # host-side NTT keeps the hash pipeline off the device (no mid-stream
         # host<->device round trip just to serialize challenge reprs)
         c_hat = native.ntt_fwd_batch(cc, ctx["plan"].brp, params.modulus)
@@ -322,7 +325,7 @@ def derive_alphas_grouped(
         )
         alphas = native.derive_alphas_fused(
             params.agg_xof_dst,
-            [r.encode("utf-8") for r in vk_reprs_flat],
+            packed,
             digests, meta, c_hat, G, N, block,
             params.degree, params.omega_ag, bound, bpc, bpi,
         )

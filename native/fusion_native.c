@@ -328,25 +328,23 @@ static void shake256_x8(const uint8_t *ptrs[8], const size_t lens[8], int nblock
     __m512i st[25];
     for (int i = 0; i < 25; i++) st[i] = _mm512_setzero_si512();
     uint64_t blk[8][17] __attribute__((aligned(64)));
+    uint64_t tbuf[17 * 8] __attribute__((aligned(64)));
     for (int b = 0; b < nblocks; b++) {
         for (int lane = 0; lane < 8; lane++) {
-            uint8_t tmp[136];
+            uint8_t *dst = (uint8_t *)blk[lane];
             size_t start = (size_t)b * 136;
             size_t len = lens[lane];
             size_t n = len > start ? (len - start < 136 ? len - start : 136) : 0;
-            memcpy(tmp, ptrs[lane] + start, n);
-            memset(tmp + n, 0, 136 - n);
-            if (n < 136) tmp[n] ^= 0x1f; /* pad start (only in the final block) */
-            if (b == nblocks - 1) tmp[135] ^= 0x80;
-            memcpy(blk[lane], tmp, 136);
+            memcpy(dst, ptrs[lane] + start, n);
+            memset(dst + n, 0, 136 - n);
+            if (n < 136) dst[n] ^= 0x1f; /* pad start (only in the final block) */
+            if (b == nblocks - 1) dst[135] ^= 0x80;
         }
-        for (int w = 0; w < 17; w++) {
-            __m512i v = _mm512_set_epi64(
-                (long long)blk[7][w], (long long)blk[6][w], (long long)blk[5][w],
-                (long long)blk[4][w], (long long)blk[3][w], (long long)blk[2][w],
-                (long long)blk[1][w], (long long)blk[0][w]);
-            st[w] = _mm512_xor_si512(st[w], v);
-        }
+        /* scalar transpose -> aligned vector loads */
+        for (int lane = 0; lane < 8; lane++)
+            for (int w = 0; w < 17; w++) tbuf[w * 8 + lane] = blk[lane][w];
+        for (int w = 0; w < 17; w++)
+            st[w] = _mm512_xor_si512(st[w], _mm512_load_si512((const __m512i *)&tbuf[w * 8]));
         keccakf_x8(st);
     }
     /* squeeze: extract one full 136-byte rate block per lane at a time */
