@@ -477,39 +477,52 @@ static void *chall_worker_phase1(void *arg) {
 }
 
 static void *chall_worker_phase2(void *arg) {
-    /* consume chunks of 8 consecutive (block-count-sorted) items */
+    /* consume chunks of 16 consecutive (block-count-sorted) items:
+     * 16-wide (two interleaved 8-lane states) when homogeneous, then 8-wide,
+     * then scalar stragglers */
     chall_job *J = (chall_job *)arg;
-    uint8_t *xof8 = (uint8_t *)malloc(8 * J->xof_len);
+    uint8_t *xof = (uint8_t *)malloc(16 * J->xof_len);
+    int simd = have_avx512();
     for (;;) {
         pthread_mutex_lock(&J->lock);
         int32_t c = J->next;
-        J->next += 8;
+        J->next += 16;
         pthread_mutex_unlock(&J->lock);
         if (c >= J->n_items) break;
-        int32_t n = J->n_items - c < 8 ? J->n_items - c : 8;
+        int32_t n = J->n_items - c < 16 ? J->n_items - c : 16;
         const int32_t *idx = J->order + c;
-        int homog = 1;
-        int nb0 = absorb_blocks(J->payload_lens[idx[0]]);
-        for (int k = 1; k < n; k++)
-            if (absorb_blocks(J->payload_lens[idx[k]]) != nb0) { homog = 0; break; }
-        if (homog && n == 8 && have_avx512()) {
-            const uint8_t *ptrs[8];
-            size_t lens[8];
-            for (int k = 0; k < 8; k++) {
-                ptrs[k] = J->payloads[idx[k]];
-                lens[k] = J->payload_lens[idx[k]];
+        int32_t k = 0;
+        while (k < n) {
+            int32_t left = n - k;
+            int width = 1;
+            if (simd && left >= 8) {
+                int nb0 = absorb_blocks(J->payload_lens[idx[k]]);
+                int homog = 8;
+                for (int m = 1; m < 8; m++) {
+                    if (absorb_blocks(J->payload_lens[idx[k + m]]) != nb0) break;
+                    homog = m + 1;
+                }
+                if (homog >= 8) width = 8;
             }
-            shake256_x8(ptrs, lens, nb0, xof8, J->xof_len);
-            for (int k = 0; k < 8; k++)
-                chall_finish_item(J, idx[k], xof8 + (size_t)k * J->xof_len);
-        } else {
-            for (int k = 0; k < n; k++) {
-                fn_shake256(J->payloads[idx[k]], J->payload_lens[idx[k]], xof8, J->xof_len);
-                chall_finish_item(J, idx[k], xof8);
+            if (width == 8) {
+                const uint8_t *ptrs[8];
+                size_t lens[8];
+                for (int m = 0; m < width; m++) {
+                    ptrs[m] = J->payloads[idx[k + m]];
+                    lens[m] = J->payload_lens[idx[k + m]];
+                }
+                int nb0 = absorb_blocks(lens[0]);
+                shake256_x8(ptrs, lens, nb0, xof, J->xof_len);
+                for (int m = 0; m < width; m++)
+                    chall_finish_item(J, idx[k + m], xof + (size_t)m * J->xof_len);
+            } else {
+                fn_shake256(J->payloads[idx[k]], J->payload_lens[idx[k]], xof, J->xof_len);
+                chall_finish_item(J, idx[k], xof);
             }
+            k += width;
         }
     }
-    free(xof8);
+    free(xof);
     return NULL;
 }
 
@@ -613,37 +626,51 @@ static void agg_decode_group(agg_job *J, int32_t g, const uint8_t *xof) {
 static void *agg_worker(void *arg) {
     agg_job *J = (agg_job *)arg;
     size_t outlen = (size_t)J->sigs_per_group * J->block_len;
-    uint8_t *xof8 = (uint8_t *)malloc(8 * outlen);
+    uint8_t *xof = (uint8_t *)malloc(16 * outlen);
+    int simd = have_avx512();
     for (;;) {
         pthread_mutex_lock(&J->lock);
         int32_t c = J->next;
-        J->next += 8;
+        J->next += 16;
         pthread_mutex_unlock(&J->lock);
         if (c >= J->n_groups) break;
-        int32_t n = J->n_groups - c < 8 ? J->n_groups - c : 8;
+        int32_t n = J->n_groups - c < 16 ? J->n_groups - c : 16;
         const int32_t *idx = J->order + c;
-        size_t lens[8];
-        const uint8_t *ptrs[8];
-        int homog = 1, nb0 = 0;
-        for (int k = 0; k < n; k++) {
-            ptrs[k] = J->blob + J->off[idx[k]];
-            lens[k] = (size_t)(J->off[idx[k] + 1] - J->off[idx[k]]);
-            int nb = absorb_blocks(lens[k]);
-            if (k == 0) nb0 = nb;
-            else if (nb != nb0) homog = 0;
-        }
-        if (homog && n == 8 && have_avx512()) {
-            shake256_x8(ptrs, lens, nb0, xof8, outlen);
-            for (int k = 0; k < 8; k++)
-                agg_decode_group(J, idx[k], xof8 + (size_t)k * outlen);
-        } else {
-            for (int k = 0; k < n; k++) {
-                fn_shake256(ptrs[k], lens[k], xof8, outlen);
-                agg_decode_group(J, idx[k], xof8);
+        int32_t k = 0;
+        while (k < n) {
+            int32_t left = n - k;
+            int width = 1;
+            if (simd && left >= 8) {
+                size_t l0 = (size_t)(J->off[idx[k] + 1] - J->off[idx[k]]);
+                int nb0 = absorb_blocks(l0);
+                int homog = 8;
+                for (int m = 1; m < 8; m++) {
+                    size_t lm = (size_t)(J->off[idx[k + m] + 1] - J->off[idx[k + m]]);
+                    if (absorb_blocks(lm) != nb0) break;
+                    homog = m + 1;
+                }
+                if (homog >= 8) width = 8;
             }
+            if (width == 8) {
+                const uint8_t *ptrs[8];
+                size_t lens[8];
+                for (int m = 0; m < width; m++) {
+                    ptrs[m] = J->blob + J->off[idx[k + m]];
+                    lens[m] = (size_t)(J->off[idx[k + m] + 1] - J->off[idx[k + m]]);
+                }
+                int nb0 = absorb_blocks(lens[0]);
+                shake256_x8(ptrs, lens, nb0, xof, outlen);
+                for (int m = 0; m < width; m++)
+                    agg_decode_group(J, idx[k + m], xof + (size_t)m * outlen);
+            } else {
+                size_t l = (size_t)(J->off[idx[k] + 1] - J->off[idx[k]]);
+                fn_shake256(J->blob + J->off[idx[k]], l, xof, outlen);
+                agg_decode_group(J, idx[k], xof);
+            }
+            k += width;
         }
     }
-    free(xof8);
+    free(xof);
     return NULL;
 }
 
