@@ -181,13 +181,23 @@ class Field:
     def sum_mod(self, x, axis: int):
         """Modular sum of residues in [0, q) along ``axis`` via 16-bit limb
         accumulation — the vectorized replacement for the reference's sequential
-        cent-per-add aggregation loops (fusion/fusion.py:670-677, :709-714)."""
+        cent-per-add aggregation loops (fusion/fusion.py:670-677, :709-714).
+
+        Reductions longer than the limb headroom (2**15 terms) recurse
+        hierarchically: the axis is zero-padded to a multiple of the limit and
+        folded in two stages (zero terms are exact no-ops mod q)."""
         n = x.shape[axis]
         if n > self.SUM_TERMS_LIMIT:
-            raise ValueError(
-                f"sum_mod supports at most {self.SUM_TERMS_LIMIT} terms per "
-                f"reduction; got {n}. Reduce hierarchically (e.g. psum partials)."
-            )
+            ax = axis % x.ndim
+            k = self.SUM_TERMS_LIMIT
+            n_pad = -(-n // k) * k
+            if n_pad != n:
+                widths = [(0, 0)] * x.ndim
+                widths[ax] = (0, n_pad - n)
+                x = jnp.pad(x, widths)
+            shape = x.shape[:ax] + (n_pad // k, k) + x.shape[ax + 1 :]
+            partial = self.sum_mod(x.reshape(shape), axis=ax + 1)
+            return self.sum_mod(partial, axis=ax)
         pow16 = np.uint32((1 << 16) % self.q)
         pow16_sh = np.uint32(self.shoup(int(pow16)))
         lo = (x & _MASK16).astype(_I32)

@@ -84,10 +84,13 @@ def test_sum_mod():
     np.testing.assert_array_equal(out, np.array(expect, dtype=np.uint32))
 
 
-def test_sum_mod_rejects_oversize():
-    x = jnp.zeros((F.SUM_TERMS_LIMIT + 1, 2), dtype=jnp.uint32)
-    with pytest.raises(ValueError):
-        F.sum_mod(x, axis=0)
+def test_sum_mod_hierarchical_oversize():
+    """Beyond the limb headroom the reduction recurses (zero-padded, exact)."""
+    rng = np.random.default_rng(12)
+    x = rng.integers(0, F.Q, size=(F.SUM_TERMS_LIMIT + 7, 2), dtype=np.uint32)
+    out = np.asarray(F.sum_mod(jnp.asarray(x), axis=0))
+    expect = [sum(int(v) for v in x[:, j]) % F.Q for j in range(2)]
+    assert out.tolist() == expect
 
 
 def test_dot_mod():
