@@ -30,13 +30,14 @@ def main():
     ap.add_argument("--out-dir", default=str(Path(__file__).parent / "KAT_values"))
     ap.add_argument("--seed", type=int, default=None,
                     help="seed the global stream first for reproducible corpora")
+    ap.add_argument("--secpars", type=int, nargs="*", default=[128, 256])
     args = ap.parse_args()
     out = Path(args.out_dir)
     out.mkdir(exist_ok=True)
     if args.seed is not None:
         random.seed(args.seed)
 
-    for secpar in (128, 256):
+    for secpar in args.secpars:
         seed_a = random.randint(0, 2**32 - 1)
         params = api.fusion_setup(secpar, seed_a)
         emit(out, f"fusion_setup_KAT_{secpar}.csv", [str((secpar, seed_a)), str(params)])
