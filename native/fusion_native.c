@@ -497,7 +497,7 @@ static void *chall_worker_phase2(void *arg) {
             int width = 1;
             if (simd && left >= 8) {
                 int nb0 = absorb_blocks(J->payload_lens[idx[k]]);
-                int homog = 8;
+                int homog = 1;
                 for (int m = 1; m < 8; m++) {
                     if (absorb_blocks(J->payload_lens[idx[k + m]]) != nb0) break;
                     homog = m + 1;
@@ -643,7 +643,7 @@ static void *agg_worker(void *arg) {
             if (simd && left >= 8) {
                 size_t l0 = (size_t)(J->off[idx[k] + 1] - J->off[idx[k]]);
                 int nb0 = absorb_blocks(l0);
-                int homog = 8;
+                int homog = 1;
                 for (int m = 1; m < 8; m++) {
                     size_t lm = (size_t)(J->off[idx[k + m] + 1] - J->off[idx[k + m]]);
                     if (absorb_blocks(lm) != nb0) break;

@@ -89,3 +89,30 @@ def test_format_poly_matches_serializer():
     got = native.format_poly(b"PolynomialNTTRepresentation", meta, b"values", vals)
     expect = serial.poly_ntt_str(Q, 64, 23584283, 540632852, 128, vals).encode()
     assert got == expect
+
+
+def test_derive_alphas_grouped_native_vs_python_parity():
+    """Regression: the keccak workers' 8-wide path must only engage on runs of
+    equal absorb-block counts (a heterogeneous leading pair once slipped
+    through and hashed with the wrong block count).  Compare the full native
+    pipeline against the pure-Python fallback across enough groups to cross
+    payload-length boundaries."""
+    import fusion_cryptography_tpu as ftpu
+    import fusion_cryptography_tpu.native as nat
+    from fusion_cryptography_tpu.scheme import lifecycle as lc
+
+    params = ftpu.fusion_setup(128, 42)
+    G, N = 96, 3
+    keys = ftpu.keygen(params, list(range(1, G * N + 1)))
+    # message lengths varied so challenge payload block counts straddle
+    msgs = ["m" * (1 + (i * 37) % 400) for i in range(G * N)]
+    reprs = keys.vk_strs()
+    cc_n, al_n = lc.derive_alphas_grouped(params, reprs, msgs, G, N)
+    orig = nat.available
+    nat.available = lambda: False
+    try:
+        cc_p, al_p = lc.derive_alphas_grouped(params, reprs, msgs, G, N)
+    finally:
+        nat.available = orig
+    np.testing.assert_array_equal(cc_n, cc_p)
+    np.testing.assert_array_equal(al_n, al_p)
