@@ -343,3 +343,36 @@ def make_fourstep_ntt(plan: NTTPlan, mesh: Mesh, axis_name: str = "sp"):
         return jnp.transpose(xc.reshape(B, S, d2), (0, 2, 1)).reshape(B, d)
 
     return fwd, inv, layout, unlayout
+
+
+def fourstep_order(plan: NTTPlan, fwd, layout) -> np.ndarray:
+    """Recover the permutation mapping four-step output slots to the reference
+    (butterfly) NTT-domain ordering:
+
+        fourstep_fwd(layout(x))[:, p] == ntt_fwd(x)[:, perm[p]]
+
+    Recovered empirically via a probe vector (the transform is linear and a
+    random input has distinct slot values with overwhelming probability;
+    retried otherwise) and verified against a second probe.  Apply
+    ``out[:, perm]``-style gathers when four-step results must be serialized in
+    the reference layout; pointwise ring arithmetic needs no permutation.
+    """
+    from ..ops.ntt import ntt_fwd
+
+    d = plan.degree
+    rng = np.random.default_rng(0)
+    for _ in range(8):
+        x = rng.integers(-(plan.modulus // 2), plan.modulus // 2, size=(1, d)).astype(np.int32)
+        ref = np.asarray(ntt_fwd(plan, jnp.asarray(x)))[0]
+        if len(set(ref.tolist())) != d:
+            continue
+        got = np.asarray(fwd(layout(jnp.asarray(x))))[0]
+        pos = {int(v): i for i, v in enumerate(ref)}
+        perm = np.array([pos[int(v)] for v in got], dtype=np.int64)
+        # verify on an independent probe
+        y = rng.integers(-1000, 1000, size=(1, d)).astype(np.int32)
+        ref2 = np.asarray(ntt_fwd(plan, jnp.asarray(y)))[0]
+        got2 = np.asarray(fwd(layout(jnp.asarray(y))))[0]
+        if np.array_equal(got2, ref2[perm]):
+            return perm
+    raise RuntimeError("failed to recover a consistent four-step permutation")

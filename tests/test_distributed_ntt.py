@@ -95,3 +95,23 @@ def test_pointwise_product_composes():
 
     expect = np.asarray(negacyclic_poly_mult(plan, jnp.asarray(f), jnp.asarray(g)))
     np.testing.assert_array_equal(got, expect)
+
+
+@needs8
+def test_fourstep_order_recovery():
+    """fourstep_order makes the all_to_all form drop-in for the reference slot
+    layout: gathered outputs match ntt_fwd bitwise."""
+    from fusion_cryptography_tpu.parallel.distributed_ntt import (
+        fourstep_order,
+        make_fourstep_ntt,
+    )
+
+    plan = make_plan(Q, 256, 3337519)
+    fwd, inv, layout, unlayout = make_fourstep_ntt(plan, _mesh(8))
+    perm = fourstep_order(plan, fwd, layout)
+    assert sorted(perm.tolist()) == list(range(256))
+    rng = np.random.default_rng(5)
+    x = rng.integers(-(Q // 2), Q // 2 + 1, size=(4, 256), dtype=np.int64).astype(np.int32)
+    got = np.asarray(fwd(layout(jnp.asarray(x))))
+    ref = np.asarray(ntt_fwd(plan, jnp.asarray(x)))
+    np.testing.assert_array_equal(got, ref[:, perm])

@@ -14,9 +14,26 @@ from fusion_cryptography_tpu.ops import field as F
 from fusion_cryptography_tpu.ops.ntt import make_plan, ntt_fwd, ntt_inv, negacyclic_poly_mult
 from fusion_cryptography_tpu.ops.numtheory import bit_reverse_indices, find_primitive_root
 
-# (degree, modulus) sweep: small NTT-friendly primes q ≡ 1 (mod 2d), plus the
-# two production configurations of the Fusion prime.
-SMALL_CASES = [(4, 17), (8, 17), (8, 97), (16, 97), (32, 193), (64, 257)]
+# (degree, modulus) sweep mirroring the reference's coverage design
+# (tests/test_ntt.py:18-49: every d = 2^2..2^6 with the first ascending primes
+# q < 2^17, q ≡ 1 (mod 2d)), plus the two production configurations.
+def _sweep_cases(primes_per_degree=2):
+    out = []
+    for log_d in range(2, 7):
+        d = 1 << log_d
+        q = 2 * d + 1
+        found = 0
+        while found < primes_per_degree and q < (1 << 17):
+            from fusion_cryptography_tpu.ops.numtheory import is_odd_prime
+
+            if is_odd_prime(q):
+                out.append((d, q))
+                found += 1
+            q += 2 * d
+    return out
+
+
+SMALL_CASES = _sweep_cases()
 PROD_CASES = [(64, F.Q, 23584283), (256, F.Q, 3337519)]
 
 
