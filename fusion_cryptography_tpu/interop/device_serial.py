@@ -1,0 +1,259 @@
+"""Device-side construction of the reference's hashed ``str()`` preimages.
+
+The reference's SHAKE preimages are ASCII reprs of object graphs
+(fusion/fusion.py:417, :586-589; formats pinned in interop/serial.py).  Each
+preimage is a fixed *template* of boilerplate text interleaved with decimal
+renderings of tensor values, so it can be assembled entirely on-device:
+
+  template bytes (static per parameter set)
++ ops.ragged.render_decimal of the int32 value tensors
++ ops.ragged.ragged_concat over a static slot table
+
+A :class:`PreimageSpec` is the compiled slot table: for every slot, whether it
+reads template text, a rendered number, or a per-row "extra" byte field
+(host-rendered prehash integers, or nested buffers like the aggregation XOF's
+triple strings).  ``assemble`` evaluates a spec for a batch in O(1) gathers.
+
+Byte-exactness against interop/serial.py (and therefore against the reference
+``str()``s and the KAT corpus) is asserted in tests/test_device_serial.py.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.ragged import DEC_W, ragged_concat, render_decimal
+from .serial import NTT_CLASS
+
+_KIND_CONST, _KIND_NUMBER, _KIND_EXTRA = 0, 1, 2
+
+
+@dataclass(frozen=True)
+class PreimageSpec:
+    """Compiled slot table for one preimage layout."""
+
+    template: np.ndarray  # uint8[T] — all constant bytes, concatenated
+    kind: np.ndarray  # int32[S]
+    arg: np.ndarray  # int32[S]: template offset / number index / extra index
+    const_len: np.ndarray  # int32[S] (0 for non-const slots)
+    num_numbers: int
+    num_extras: int
+    extra_widths: Tuple[int, ...]  # static per-extra field width in the pool
+    out_max: int  # static bound on assembled length
+
+    def pool_width(self) -> int:
+        return len(self.template) + self.num_numbers * DEC_W + sum(self.extra_widths)
+
+
+class TemplateBuilder:
+    """Accumulates const/number/extra slots into a :class:`PreimageSpec`."""
+
+    def __init__(self):
+        self._template = bytearray()
+        self._slots: List[Tuple[int, int, int]] = []  # (kind, arg, const_len)
+        self._extra_widths: List[int] = []
+        self._num_numbers = 0
+
+    def const(self, b: bytes) -> "TemplateBuilder":
+        if b:
+            # merge adjacent const slots
+            if self._slots and self._slots[-1][0] == _KIND_CONST:
+                k, off, ln = self._slots[-1]
+                if off + ln == len(self._template):
+                    self._template.extend(b)
+                    self._slots[-1] = (k, off, ln + len(b))
+                    return self
+            self._slots.append((_KIND_CONST, len(self._template), len(b)))
+            self._template.extend(b)
+        return self
+
+    def number(self) -> "TemplateBuilder":
+        self._slots.append((_KIND_NUMBER, self._num_numbers, 0))
+        self._num_numbers += 1
+        return self
+
+    def numbers(self, n: int, sep: bytes = b", ") -> "TemplateBuilder":
+        for k in range(n):
+            if k:
+                self.const(sep)
+            self.number()
+        return self
+
+    def extra(self, width: int) -> "TemplateBuilder":
+        self._slots.append((_KIND_EXTRA, len(self._extra_widths), 0))
+        self._extra_widths.append(width)
+        return self
+
+    def build(self) -> PreimageSpec:
+        kind = np.array([s[0] for s in self._slots], dtype=np.int32)
+        arg = np.array([s[1] for s in self._slots], dtype=np.int32)
+        clen = np.array([s[2] for s in self._slots], dtype=np.int32)
+        out_max = int(clen.sum()) + self._num_numbers * DEC_W + sum(self._extra_widths)
+        return PreimageSpec(
+            template=np.frombuffer(bytes(self._template), dtype=np.uint8),
+            kind=kind,
+            arg=arg,
+            const_len=clen,
+            num_numbers=self._num_numbers,
+            num_extras=len(self._extra_widths),
+            extra_widths=tuple(self._extra_widths),
+            out_max=out_max,
+        )
+
+
+def assemble(
+    spec: PreimageSpec,
+    values: Optional[jnp.ndarray] = None,
+    extras: Sequence[Tuple[jnp.ndarray, jnp.ndarray]] = (),
+):
+    """Evaluate ``spec`` for a batch.
+
+    values: int32[B, spec.num_numbers] — the numbers, in slot order;
+    extras:  per extra slot a (bytes uint8[B, width], length int32[B]) pair
+             whose live content is left-aligned.
+    Returns (buf uint8[B, out_max], total int32[B]).
+    """
+    if len(extras) != spec.num_extras:
+        raise ValueError(f"spec needs {spec.num_extras} extras, got {len(extras)}")
+    if spec.num_numbers:
+        if values is None or values.shape[-1] != spec.num_numbers:
+            raise ValueError(f"spec needs int32[B, {spec.num_numbers}] values")
+        B = values.shape[0]
+        field, n_start, n_len = render_decimal(values)  # [B, K, 11]
+        digit_pool = field.reshape(B, spec.num_numbers * DEC_W)
+    else:
+        B = extras[0][0].shape[0]
+        digit_pool = jnp.zeros((B, 0), jnp.uint8)
+        n_start = jnp.zeros((B, 0), jnp.int32)
+        n_len = jnp.zeros((B, 0), jnp.int32)
+
+    T = len(spec.template)
+    pool_parts = [jnp.broadcast_to(jnp.asarray(spec.template), (B, T)), digit_pool]
+    ex_base: List[int] = []
+    base = T + spec.num_numbers * DEC_W
+    for (eb, _), w in zip(extras, spec.extra_widths):
+        if eb.shape[1] != w:
+            raise ValueError(f"extra width {eb.shape[1]} != spec width {w}")
+        ex_base.append(base)
+        pool_parts.append(eb)
+        base += w
+    pool = jnp.concatenate(pool_parts, axis=1)
+
+    kind = spec.kind
+    arg = spec.arg
+    # number slots: offset = T + k*DEC_W + start[b, k]; length from render
+    num_idx = np.where(kind == _KIND_NUMBER, arg, 0)
+    ex_idx = np.where(kind == _KIND_EXTRA, arg, 0)
+    ex_off = np.array([ex_base[i] if ex_base else 0 for i in ex_idx], dtype=np.int32)
+    off_num = np.int32(T) + num_idx.astype(np.int32) * DEC_W
+    if spec.num_numbers:
+        num_start_by_slot = n_start[:, num_idx]
+        num_len_by_slot = n_len[:, num_idx]
+    else:
+        num_start_by_slot = jnp.zeros((B, len(kind)), jnp.int32)
+        num_len_by_slot = jnp.zeros((B, len(kind)), jnp.int32)
+    seg_off = jnp.where(
+        kind == _KIND_CONST,
+        arg[None, :],
+        jnp.where(
+            kind == _KIND_NUMBER,
+            off_num[None, :] + num_start_by_slot,
+            ex_off[None, :],
+        ),
+    ).astype(jnp.int32)
+    if extras:
+        ex_lens = jnp.stack([e[1] for e in extras], axis=1)  # [B, E]
+        ex_len_by_slot = ex_lens[:, ex_idx]
+    else:
+        ex_len_by_slot = jnp.zeros((B, len(kind)), jnp.int32)
+    seg_len = jnp.where(
+        kind == _KIND_CONST,
+        spec.const_len[None, :],
+        jnp.where(kind == _KIND_NUMBER, num_len_by_slot, ex_len_by_slot),
+    ).astype(jnp.int32)
+    return ragged_concat(pool, seg_off, seg_len, spec.out_max)
+
+
+# ---------------------------------------------------------------------------
+# Fusion preimage layouts (formats pinned by interop/serial.py and the KATs)
+# ---------------------------------------------------------------------------
+
+
+def _poly_ntt_body(b: TemplateBuilder, params, degree: int) -> None:
+    b.const(
+        (
+            f"PolynomialNTTRepresentation(modulus={params.modulus}, "
+            f"degree={params.degree}, root={params.root}, "
+            f"inv_root={params.inv_root}, root_order={params.root_order}, values=["
+        ).encode()
+    )
+    b.numbers(degree)
+    b.const(b"])")
+
+
+def _vk_body(b: TemplateBuilder, params) -> None:
+    """OneTimeVerificationKey repr: numbers are vk[0] ++ vk[1] (2*degree)."""
+    b.const(b"OneTimeVerificationKey(left_vk_hat=")
+    b.const(f"GeneralMatrix(elem_class={NTT_CLASS}, matrix=[[".encode())
+    _poly_ntt_body(b, params, params.degree)
+    b.const(b"]]), right_vk_hat=")
+    b.const(f"GeneralMatrix(elem_class={NTT_CLASS}, matrix=[[".encode())
+    _poly_ntt_body(b, params, params.degree)
+    b.const(b"]]))")
+
+
+def _challenge_body(b: TemplateBuilder, params) -> None:
+    b.const(b"SignatureChallenge(c_hat=")
+    _poly_ntt_body(b, params, params.degree)
+    b.const(b")")
+
+
+# width of str(prehashed message int): SHA3-256 digest as an integer, <= 78
+# decimal digits (fusion.py:405-409)
+PREHASH_W = 78
+
+
+def challenge_preimage_spec(params) -> PreimageSpec:
+    """dst + "," + str(vk) + "," + str(i) (fusion.py:412-419).
+
+    values: vk[0] ++ vk[1] centered (2*degree); extra 0: prehash digits.
+    """
+    b = TemplateBuilder()
+    b.const(bytes(params.sign_hash_dst) + b",")
+    _vk_body(b, params)
+    b.const(b",")
+    b.extra(PREHASH_W)
+    return b.build()
+
+
+def triple_spec(params) -> PreimageSpec:
+    """str((vk, i, challenge)) — one signer's entry in the aggregation XOF
+    preimage (fusion.py:586-589).
+
+    values: vk[0] ++ vk[1] ++ c_hat centered (3*degree); extra 0: prehash digits.
+    """
+    b = TemplateBuilder()
+    b.const(b"(")
+    _vk_body(b, params)
+    b.const(b", ")
+    b.extra(PREHASH_W)
+    b.const(b", ")
+    _challenge_body(b, params)
+    b.const(b")")
+    return b.build()
+
+
+def agg_preimage_spec(params, n_signers: int, triple_width: int) -> PreimageSpec:
+    """dst + "," + str(list(zip(...))) around N pre-assembled triple buffers
+    (fusion.py:573-591)."""
+    b = TemplateBuilder()
+    b.const(bytes(params.agg_xof_dst) + b",[")
+    for k in range(n_signers):
+        if k:
+            b.const(b", ")
+        b.extra(triple_width)
+    b.const(b"]")
+    return b.build()
