@@ -126,13 +126,27 @@ def decode_coeffs(xof_bytes, geom: DecodeGeometry):
     if S == 0:
         return coefs
 
-    # swap targets: j_t = int(index bytes) % (i_t + 1), i_t = d-1-t
+    # swap targets: j_t = int(index bytes) % (i_t + 1), i_t = d-1-t.
+    # The reference reads the index stream with plain byte slicing
+    # (fusion.py:474), so a stream shorter than num_swaps * bytes_per_index
+    # yields *truncated* big-endian ints at the boundary and empty reads
+    # (value 0 -> j = 0) past the end — e.g. the aggregation blocks supply only
+    # weight_bound index slots.  The per-swap available-byte counts are static,
+    # so this is a statically masked Horner reduction.
     off = geom.index_stream_offset
-    idx_blocks = xof_bytes[:, off : off + S * geom.bytes_per_index].reshape(
-        B, S, geom.bytes_per_index
-    )
+    bpi = geom.bytes_per_index
+    n = xof_bytes.shape[1]
+    pad = max(0, off + S * bpi - n)
+    xb = jnp.pad(xof_bytes, ((0, 0), (0, pad))) if pad else xof_bytes
+    idx_blocks = xb[:, off : off + S * bpi].reshape(B, S, bpi)
     i_vals = np.arange(d - 1, w, -1)  # [S]
-    j_all = _horner_mod(idx_blocks, (i_vals + 1).astype(np.uint32)).astype(_I32)  # [B, S]
+    avail = np.clip(n - (off + np.arange(S) * bpi), 0, bpi)  # [S]
+    mods = jnp.asarray((i_vals + 1).astype(np.uint32))
+    r = jnp.zeros((B, S), _U32)
+    for k in range(bpi):
+        nxt = (r * np.uint32(256) + idx_blocks[..., k].astype(_U32)) % mods
+        r = jnp.where(jnp.asarray(k < avail)[None, :], nxt, r)
+    j_all = r.astype(_I32)  # [B, S]
 
     iota_d = jax.lax.broadcasted_iota(_I32, (1, d), 1)
 

@@ -1,0 +1,63 @@
+"""Whole-verify-on-device pipeline vs the host hash pipeline (bit-exactness)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import fusion_cryptography_tpu as ftpu
+from fusion_cryptography_tpu.scheme import device_pipeline as dp
+from fusion_cryptography_tpu.scheme import lifecycle as lc
+
+
+def _build_groups(params, G, N, seed0=100):
+    keys = ftpu.keygen(params, [seed0 + k for k in range(G * N)])
+    msgs = [f"m{g}:{i}" for g in range(G) for i in range(N)]
+    sigs = ftpu.sign(params, keys, msgs)
+    vk_np = keys.vk_np()
+    reprs = keys.vk_strs()
+    order = np.empty((G, N), dtype=np.int64)
+    for g in range(G):
+        idx = list(range(g * N, (g + 1) * N))
+        idx.sort(key=lambda i: reprs[i])
+        order[g] = idx
+    flat = order.reshape(-1)
+    s_reprs = [reprs[i] for i in flat]
+    s_msgs = [msgs[i] for i in flat]
+    cc, al = lc.derive_alphas_grouped(params, s_reprs, s_msgs, G, N)
+    sig_np = np.asarray(sigs.sig)
+    aggs = lc._ctx(params)["aggregate_core"](jnp.asarray(sig_np[order]), jnp.asarray(al))
+    return vk_np[order], s_msgs, np.asarray(aggs), cc, al
+
+
+@pytest.mark.parametrize("secpar,G,N", [(128, 3, 4), (256, 2, 3)])
+def test_device_pipeline_matches_host(secpar, G, N):
+    params = ftpu.fusion_setup(secpar, 77)
+    vks, msgs, aggs, cc_host, al_host = _build_groups(params, G, N)
+    eq, norm_ok, w_ok, cc_dev, al_dev = dp.derive_coeffs_device(params, vks, msgs, aggs)
+    assert np.array_equal(np.asarray(cc_dev).reshape(G, N, -1), cc_host)
+    assert np.array_equal(np.asarray(al_dev), al_host)
+    assert bool(np.all(np.asarray(eq))), "valid aggregates must verify on device"
+    assert bool(np.all(np.asarray(norm_ok))) and bool(np.all(np.asarray(w_ok)))
+
+
+def test_device_pipeline_rejects_tampered(secpar=128):
+    params = ftpu.fusion_setup(secpar, 99)
+    vks, msgs, aggs, _, _ = _build_groups(params, 2, 2, seed0=500)
+    bad = aggs.copy()
+    bad[1, 0, 0] = (bad[1, 0, 0] + 1) % params.modulus
+    eq, _, _ = dp.verify_batch_device(params, vks, msgs, bad)
+    eq = np.asarray(eq)
+    assert bool(eq[0]) and not bool(eq[1])
+
+
+def test_device_pipeline_chunked_paths(secpar=128):
+    # exercise both lax.map chunk loops with exact divisors
+    params = ftpu.fusion_setup(secpar, 31)
+    G, N = 4, 2
+    vks, msgs, aggs, cc_host, al_host = _build_groups(params, G, N, seed0=900)
+    eq, _, _, cc_dev, al_dev = dp.derive_coeffs_device(
+        params, vks, msgs, aggs, signer_chunk=4, group_chunk=2
+    )
+    assert np.array_equal(np.asarray(cc_dev).reshape(G, N, -1), cc_host)
+    assert np.array_equal(np.asarray(al_dev), al_host)
+    assert bool(np.all(np.asarray(eq)))

@@ -39,6 +39,25 @@ def test_decode_matches_host(secpar, degree, weight, bound):
         assert np.array_equal(out[b], want), f"lane {b} mismatch"
 
 
+@pytest.mark.parametrize(
+    "secpar,degree,weight",
+    [(256, 256, 60), (128, 64, 35)],
+)
+def test_decode_short_index_stream_matches_host(secpar, degree, weight):
+    # aggregation blocks supply only ``weight`` index slots but the reference's
+    # Fisher-Yates reads degree-1-weight of them: the tail reads are truncated
+    # or empty byte slices (fusion.py:474) and must decode identically
+    geom = xof_decode.geometry(secpar, Q, degree, 1, weight)
+    n = geom.min_bytes  # the exact agg-block length
+    rng = np.random.default_rng(77 + secpar)
+    B = 6
+    raw = rng.integers(0, 256, size=(B, n), dtype=np.uint8)
+    out = np.asarray(xof_decode.decode_coeffs(raw, geom))
+    for b in range(B):
+        want = decode_bytes_to_coefficients(raw[b].tobytes(), secpar, Q, degree, 1, weight)
+        assert np.array_equal(out[b], want), f"lane {b}"
+
+
 def test_decode_closed_form_all_zero_bytes():
     # all-zero XOF bytes: signums all -1, magnitudes 1, every swap j = 0
     # (mirrors the reference's closed-form vector test, test_fusion.py:475-558)
