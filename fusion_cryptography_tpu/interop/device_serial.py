@@ -257,3 +257,245 @@ def agg_preimage_spec(params, n_signers: int, triple_width: int) -> PreimageSpec
         b.extra(triple_width)
     b.const(b"]")
     return b.build()
+
+
+# ---------------------------------------------------------------------------
+# Gather-free assembly (ops/ragged.Chunk recursive doubling)
+# ---------------------------------------------------------------------------
+
+from functools import lru_cache as _lru_cache
+
+from ..ops.ragged import Chunk, fold_chunks, merge_cells, shift_left_bytes
+
+
+_COMPILED: dict = {}
+
+
+def _compile_spec(spec: PreimageSpec):
+    """Memoized via id() (specs contain numpy arrays, so they are unhashable;
+    the cache entry keeps the spec alive so the id stays valid)."""
+    hit = _COMPILED.get(id(spec))
+    if hit is not None and hit[0] is spec:
+        return hit[1]
+    nodes = _compile_spec_uncached(spec)
+    _COMPILED[id(spec)] = (spec, nodes)
+    return nodes
+
+
+def _compile_spec_uncached(spec: PreimageSpec):
+    """Group a spec's slots into fold nodes: const runs, uniform
+    (sep + number) cell runs, and extra fields.
+
+    Returns a tuple of node descriptors:
+      ("const", bytes)
+      ("cells", sep_bytes, first_number_index, count)
+      ("extra", extra_index)
+    Numbers inside one "cells" node are consecutive in the values tensor.
+    """
+    nodes = []
+    pending = b""
+    runs = []  # open cell run: [sep, i0, count]
+
+    def flush_pending():
+        nonlocal pending
+        if pending:
+            nodes.append(("const", pending))
+            pending = b""
+
+    def flush_run():
+        if runs:
+            nodes.append(("cells", runs[0], runs[1], runs[2]))
+            runs.clear()
+
+    for k in range(len(spec.kind)):
+        kind, arg = int(spec.kind[k]), int(spec.arg[k])
+        if kind == _KIND_CONST:
+            cl = int(spec.const_len[k])
+            piece = bytes(spec.template[arg : arg + cl].tobytes())
+            if runs:
+                flush_run()
+            pending += piece
+        elif kind == _KIND_NUMBER:
+            if runs and runs[0] == pending and runs[1] + runs[2] == arg:
+                runs[2] += 1
+                pending = b""
+            else:
+                flush_run()
+                sep, pending = pending, b""
+                runs.extend([sep, arg, 1])
+        else:  # extra
+            flush_run()
+            flush_pending()
+            nodes.append(("extra", arg))
+    flush_run()
+    flush_pending()
+    return tuple(nodes)
+
+
+def _number_cells(sep: bytes, field, start, length, count: int) -> Chunk:
+    """Left-aligned (sep ++ decimal) cells from render_decimal output slices.
+
+    field uint8[B, count, DEC_W], start/length int32[B, count].
+    """
+    B = field.shape[0]
+    aligned = shift_left_bytes(field, start, DEC_W - 1)
+    pos = jnp.arange(DEC_W, dtype=jnp.int32)
+    aligned = jnp.where(pos[None, None, :] < length[..., None], aligned, np.uint8(0))
+    s = len(sep)
+    if s:
+        sep_b = jnp.broadcast_to(
+            jnp.asarray(np.frombuffer(sep, dtype=np.uint8)), (B, count, s)
+        )
+        buf = jnp.concatenate([sep_b, aligned], axis=-1)
+    else:
+        buf = aligned
+    return Chunk(buf=buf, length=length + np.int32(s), max_len=s + DEC_W, min_len=s + 1)
+
+
+def assemble_chunks(
+    spec: PreimageSpec,
+    values=None,
+    extras: Sequence[Tuple[jnp.ndarray, jnp.ndarray]] = (),
+    extra_bounds: Optional[Sequence[Tuple[int, int]]] = None,
+):
+    """Gather-free twin of :func:`assemble` (same contract, same outputs)
+    except that bytes at or beyond ``total`` are ZERO rather than scratch.
+
+    extra_bounds: optional per-extra (min_len, max_len) static hints — tighter
+    bounds shrink the barrel-shift depth of every merge to the right of the
+    extra.  extras' buffers MUST be zero beyond their live length.
+    """
+    if len(extras) != spec.num_extras:
+        raise ValueError(f"spec needs {spec.num_extras} extras, got {len(extras)}")
+    nodes = _compile_spec(spec)
+    if values is not None:
+        B = values.shape[0]
+        field, n_start, n_len = render_decimal(values)  # [B, K, DEC_W]
+    else:
+        B = extras[0][0].shape[0]
+    out = []
+    for node in nodes:
+        if node[0] == "const":
+            cb = np.frombuffer(node[1], dtype=np.uint8)
+            out.append(
+                Chunk(
+                    buf=jnp.broadcast_to(jnp.asarray(cb), (B, len(cb))),
+                    length=jnp.full((B,), len(cb), jnp.int32),
+                    max_len=len(cb),
+                    min_len=len(cb),
+                )
+            )
+        elif node[0] == "cells":
+            _, sep, i0, count = node
+            cells = _number_cells(
+                sep, field[:, i0 : i0 + count], n_start[:, i0 : i0 + count],
+                n_len[:, i0 : i0 + count], count,
+            )
+            out.append(merge_cells(cells) if count > 1 else
+                       Chunk(cells.buf[:, 0], cells.length[:, 0], cells.max_len, cells.min_len))
+        else:
+            e = node[1]
+            eb, el = extras[e]
+            w = spec.extra_widths[e]
+            if eb.shape[1] != w:
+                raise ValueError(f"extra width {eb.shape[1]} != spec width {w}")
+            lo, hi = (0, w) if extra_bounds is None else extra_bounds[e]
+            out.append(Chunk(buf=eb, length=el.astype(jnp.int32), max_len=hi, min_len=lo))
+    final = fold_chunks(out)
+    pad = spec.out_max - final.buf.shape[-1]
+    buf = jnp.pad(final.buf, ((0, 0), (0, pad))) if pad > 0 else final.buf[:, : spec.out_max]
+    return buf, final.length
+
+
+def spec_min_total(spec: PreimageSpec, extra_min_lens: Sequence[int]) -> int:
+    """Static lower bound on a spec's assembled length: every const byte, at
+    least one digit per number, plus the given per-extra minimums."""
+    return int(spec.const_len.sum()) + spec.num_numbers + sum(extra_min_lens)
+
+
+# ---------------------------------------------------------------------------
+# Lane-major assembly (production path): buffers uint8[W, B], batch minor
+# ---------------------------------------------------------------------------
+
+from ..ops.ragged import (  # noqa: E402
+    fold_chunks_lm,
+    merge_cells_lm,
+    render_decimal_lm,
+    shift_left_lm,
+)
+
+
+def _number_cells_lm(sep: bytes, field, start, length, count: int) -> Chunk:
+    """Left-aligned (sep ++ decimal) cells, lane-major.
+
+    field uint8[K, DEC_W, B], start/length int32[K, B] -> Chunk[K, s+DEC_W, B].
+    """
+    B = field.shape[-1]
+    aligned = shift_left_lm(field, start, DEC_W - 1)
+    pos = jnp.arange(DEC_W, dtype=jnp.int32)
+    aligned = jnp.where(pos[None, :, None] < length[:, None, :], aligned, np.uint8(0))
+    s = len(sep)
+    if s:
+        sep_b = jnp.broadcast_to(
+            jnp.asarray(np.frombuffer(sep, dtype=np.uint8))[None, :, None],
+            (count, s, B),
+        )
+        buf = jnp.concatenate([sep_b, aligned], axis=1)
+    else:
+        buf = aligned
+    return Chunk(buf=buf, length=length + np.int32(s), max_len=s + DEC_W, min_len=s + 1)
+
+
+def assemble_chunks_lm(
+    spec: PreimageSpec,
+    values=None,
+    extras: Sequence[Tuple[jnp.ndarray, jnp.ndarray]] = (),
+    extra_bounds: Optional[Sequence[Tuple[int, int]]] = None,
+):
+    """Lane-major :func:`assemble_chunks`.
+
+    values int32[num_numbers, B]; extras (uint8[width, B], int32[B]) pairs with
+    zeroed scratch.  Returns (buf uint8[out_max, B], total int32[B]).
+    """
+    if len(extras) != spec.num_extras:
+        raise ValueError(f"spec needs {spec.num_extras} extras, got {len(extras)}")
+    nodes = _compile_spec(spec)
+    if values is not None:
+        if values.shape[0] != spec.num_numbers:
+            raise ValueError(f"spec needs int32[{spec.num_numbers}, B] values")
+        B = values.shape[-1]
+        field, n_start, n_len = render_decimal_lm(values)  # [K, DEC_W, B]
+    else:
+        B = extras[0][0].shape[-1]
+    out = []
+    for node in nodes:
+        if node[0] == "const":
+            cb = np.frombuffer(node[1], dtype=np.uint8)
+            out.append(
+                Chunk(
+                    buf=jnp.broadcast_to(jnp.asarray(cb)[:, None], (len(cb), B)),
+                    length=jnp.full((B,), len(cb), jnp.int32),
+                    max_len=len(cb),
+                    min_len=len(cb),
+                )
+            )
+        elif node[0] == "cells":
+            _, sep, i0, count = node
+            cells = _number_cells_lm(
+                sep, field[i0 : i0 + count], n_start[i0 : i0 + count],
+                n_len[i0 : i0 + count], count,
+            )
+            out.append(merge_cells_lm(cells) if count > 1 else
+                       Chunk(cells.buf[0], cells.length[0], cells.max_len, cells.min_len))
+        else:
+            e = node[1]
+            eb, el = extras[e]
+            w = spec.extra_widths[e]
+            if eb.shape[0] != w:
+                raise ValueError(f"extra width {eb.shape[0]} != spec width {w}")
+            lo, hi = (0, w) if extra_bounds is None else extra_bounds[e]
+            out.append(Chunk(buf=eb, length=el.astype(jnp.int32), max_len=hi, min_len=lo))
+    final = fold_chunks_lm(out)
+    pad = spec.out_max - final.buf.shape[0]
+    buf = jnp.pad(final.buf, ((0, pad), (0, 0))) if pad > 0 else final.buf[: spec.out_max]
+    return buf, final.length

@@ -190,13 +190,50 @@ def _payload_to_blocks(buf, lens):
     return jnp.transpose(w, (1, 2, 3, 0)), n_blocks
 
 
+def _payload_to_blocks_lm(buf, lens):
+    """Lane-major :func:`_payload_to_blocks`: uint8[max_blocks*RATE, B] ->
+    ([max_blocks, RATE_LANES, 2, B] uint32 blocks, int32[B] counts) with no
+    transpose at all (the byte axis is already major)."""
+    total, B = buf.shape
+    if total % RATE:
+        raise ValueError(f"payload buffer length {total} must be a multiple of {RATE}")
+    max_blocks = total // RATE
+    lens = lens.astype(jnp.int32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (total, B), 0)
+    data = jnp.where(pos < lens[None, :], buf, 0)
+    n_blocks = lens // RATE + 1
+    pad_head = jnp.where(pos == lens[None, :], np.uint8(0x1F), np.uint8(0))
+    last_byte = n_blocks * RATE - 1
+    pad_tail = jnp.where(pos == last_byte[None, :], np.uint8(0x80), np.uint8(0))
+    data = data | pad_head | pad_tail
+    words = data.reshape(max_blocks, RATE_LANES, 2, 4, B).astype(_U32)
+    w = (
+        words[:, :, :, 0]
+        | (words[:, :, :, 1] << np.uint32(8))
+        | (words[:, :, :, 2] << np.uint32(16))
+        | (words[:, :, :, 3] << np.uint32(24))
+    )  # [max_blocks, 17, 2, B]
+    return w, n_blocks
+
+
+def shake256_absorb_lanes_lm(buf, lens) -> Lanes:
+    """Lane-major absorb: buf uint8[max_blocks*RATE, B] (zero-padded payload
+    bytes, batch minor); lens int[B].  Returns lane-tuple states."""
+    blocks, n_blocks = _payload_to_blocks_lm(jnp.asarray(buf, jnp.uint8), jnp.asarray(lens))
+    return _absorb_blocks(blocks, n_blocks, buf.shape[-1])
+
+
 def shake256_absorb_lanes(buf, lens) -> Lanes:
     """Absorb ragged payloads; returns post-absorb states in lane-tuple form.
 
     buf: uint8[B, max_blocks*RATE] zero-padded payload bytes; lens: int[B].
     """
     blocks, n_blocks = _payload_to_blocks(jnp.asarray(buf, jnp.uint8), jnp.asarray(lens))
-    B = buf.shape[0]
+    return _absorb_blocks(blocks, n_blocks, buf.shape[0])
+
+
+def _absorb_blocks(blocks, n_blocks, B: int) -> Lanes:
+    """Masked sponge over pre-built rate blocks [max_blocks, 17, 2, B]."""
     zero = jnp.zeros((B,), _U32)
     state0 = tuple((zero, zero) for _ in range(25))
 
@@ -251,6 +288,31 @@ def shake256_squeeze_lanes(state: Lanes, n_out: int):
     )  # [B, nb, 17, 2, 4]
     B = by.shape[0]
     return by.reshape(B, n_blocks * RATE)[:, :n_out]
+
+
+def shake256_squeeze_lanes_lm(state: Lanes, n_out: int):
+    """Lane-major squeeze: ``n_out`` bytes per sponge as uint8[n_out, B]
+    (batch minor, no transpose)."""
+    n_blocks = -(-n_out // RATE)
+
+    def step(st, _):
+        rate = jnp.stack(
+            [jnp.stack(st[l]) for l in range(RATE_LANES)]
+        )  # [17, 2, B]
+        return keccak_f_lanes(st), rate
+
+    _, outs = jax.lax.scan(step, state, None, length=n_blocks)  # [nb, 17, 2, B]
+    by = jnp.stack(
+        [
+            (outs & np.uint32(0xFF)).astype(jnp.uint8),
+            ((outs >> np.uint32(8)) & np.uint32(0xFF)).astype(jnp.uint8),
+            ((outs >> np.uint32(16)) & np.uint32(0xFF)).astype(jnp.uint8),
+            ((outs >> np.uint32(24)) & np.uint32(0xFF)).astype(jnp.uint8),
+        ],
+        axis=3,
+    )  # [nb, 17, 2, 4, B]
+    B = by.shape[-1]
+    return by.reshape(n_blocks * RATE, B)[:n_out]
 
 
 @partial(jax.jit, static_argnums=(1,))

@@ -11,8 +11,13 @@ so the decode rides the same device pipeline as the XOF (ops/keccak.py):
   in production, where every magnitude is 1 but the bytes are still consumed);
 * placement: partial Fisher-Yates from i = degree-1 down to weight_bound+1
   (exclusive-bound quirk preserved, fusion.py:473).  All swap indices are
-  derived up-front by a vectorized Horner reduction of the index stream; the
-  swap chain itself is a ``lax.scan`` of one-hot updates over int32[B, degree].
+  derived up-front by a vectorized Horner reduction of the index stream.  The
+  swap chain only ever *relocates* the weight_bound live values (every other
+  slot is zero), so instead of materializing int32[B, degree] swap states the
+  ``lax.scan`` tracks the positions int32[B, weight_bound] of the live values
+  through the chain (a swap (i, j) moves a tracked value at i to j and vice
+  versa) and one final one-hot scatter places them — ~(degree/weight_bound)x
+  less work per step than swapping full coefficient rows.
 
 Geometry (byte offsets) is static per parameter set, so everything traces to
 fixed shapes.
@@ -76,6 +81,19 @@ def geometry(log2_bias: int, modulus: int, degree: int, norm_bound: int, weight_
     )
 
 
+def consumed_bytes(geom: DecodeGeometry, n_xof: int) -> int:
+    """Bytes of an ``n_xof``-byte XOF stream the decoder actually reads.
+
+    The reference's output-length arithmetic (fusion.py:541-550) asks for
+    ``bytes_per_index * degree`` index bytes but the partial Fisher-Yates only
+    performs ``num_swaps`` (< degree) swaps, so the stream tail is never read.
+    Squeezing only this many bytes is bit-exact: every index slice the decoder
+    takes is identical (truncated reads happen only when n_xof itself is
+    shorter, and then this returns n_xof unchanged).
+    """
+    return min(n_xof, geom.index_stream_offset + geom.num_swaps * geom.bytes_per_index)
+
+
 def _horner_mod(blocks, mods):
     """Big-endian bytes -> integer mod ``mods``, vectorized.
 
@@ -118,13 +136,11 @@ def decode_coeffs(xof_bytes, geom: DecodeGeometry):
         )
         mags = _horner_mod(blocks, np.uint32(geom.bound)).astype(_I32) + 1
 
-    coefs = jnp.concatenate(
-        [mags * signums, jnp.zeros((B, d - w), _I32)], axis=1
-    )  # [B, d]
+    vals = mags * signums  # [B, w]
 
     S = geom.num_swaps
     if S == 0:
-        return coefs
+        return jnp.concatenate([vals, jnp.zeros((B, d - w), _I32)], axis=1)
 
     # swap targets: j_t = int(index bytes) % (i_t + 1), i_t = d-1-t.
     # The reference reads the index stream with plain byte slicing
@@ -148,16 +164,104 @@ def decode_coeffs(xof_bytes, geom: DecodeGeometry):
         r = jnp.where(jnp.asarray(k < avail)[None, :], nxt, r)
     j_all = r.astype(_I32)  # [B, S]
 
-    iota_d = jax.lax.broadcasted_iota(_I32, (1, d), 1)
+    # Track the live values' positions through the swap chain: a swap (i, j)
+    # sends a tracked value sitting at i to j and one sitting at j to i (a
+    # value at both means i == j, where the two displacements cancel).
+    p0 = jnp.broadcast_to(jnp.arange(w, dtype=_I32)[None, :], (B, w))
 
-    def swap(state, xs):
-        i_t, j_t = xs  # scalar, [B]
-        oh_i = (iota_d == i_t).astype(_I32)  # [1, d]
-        oh_j = (iota_d == j_t[:, None]).astype(_I32)  # [B, d]
-        val_i = jnp.sum(state * oh_i, axis=1)  # [B]
-        val_j = jnp.sum(state * oh_j, axis=1)  # [B]
-        state = state + oh_i * (val_j - val_i)[:, None] + oh_j * (val_i - val_j)[:, None]
-        return state, None
+    def swap(p, xs):
+        i_t, j_t = xs  # scalar int32, [B]
+        j = j_t[:, None]  # [B, 1]
+        at_i = (p == i_t).astype(_I32)
+        at_j = (p == j).astype(_I32)
+        return p + at_i * (j - i_t) + at_j * (i_t - j), None
 
-    coefs, _ = jax.lax.scan(swap, coefs, (jnp.asarray(i_vals, _I32), j_all.T))
-    return coefs
+    pos, _ = jax.lax.scan(swap, p0, (jnp.asarray(i_vals, _I32), j_all.T))
+    # one-hot scatter of the w live values into their final slots (positions
+    # are distinct, so the sum has at most one term per slot)
+    iota_d = jax.lax.broadcasted_iota(_I32, (1, 1, d), 2)
+    hits = (pos[:, :, None] == iota_d).astype(_I32)  # [B, w, d]
+    return jnp.sum(vals[:, :, None] * hits, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Lane-major decode (production path): streams uint8[n, B], batch minor
+# ---------------------------------------------------------------------------
+
+
+def _horner_mod_lm(blocks, mods):
+    """Lane-major :func:`_horner_mod`: blocks uint8[..., nbytes, B]; mods
+    broadcastable against the [..., B] result."""
+    m = jnp.asarray(mods).astype(_U32)
+    shape = jnp.broadcast_shapes(blocks.shape[:-2] + blocks.shape[-1:], m.shape)
+    r = jnp.zeros(shape, _U32)
+    for k in range(blocks.shape[-2]):
+        r = (r * np.uint32(256) + blocks[..., k, :].astype(_U32)) % m
+    return r
+
+
+def decode_coeffs_lm(xof_bytes, geom: DecodeGeometry, unroll: int = 16):
+    """Lane-major :func:`decode_coeffs`: uint8[n, B] streams -> int32[d, B].
+
+    Identical arithmetic, batch-minor layout; the swap scan is unrolled in
+    blocks of ``unroll`` steps to amortize per-step loop overhead.
+    """
+    d, w = geom.degree, geom.weight_bound
+    n, B = xof_bytes.shape
+    if n < geom.min_bytes:
+        raise ValueError(
+            f"Too few bytes to decode polynomial. Expected {geom.min_bytes} "
+            f"but got {n}"
+        )
+
+    nb = geom.bytes_for_signums
+    i_arr = np.arange(w)
+    src_byte = nb - 1 - i_arr // 8  # [w]
+    shift = (i_arr % 8).astype(np.uint32)
+    sig_bytes = xof_bytes[src_byte].astype(_U32)  # [w, B]
+    bits = (sig_bytes >> jnp.asarray(shift)[:, None]) & np.uint32(1)
+    signums = (2 * bits.astype(_I32)) - 1  # [w, B]
+
+    if geom.bound == 1:
+        vals = signums
+    else:
+        off = nb
+        blocks = xof_bytes[off : off + w * geom.bytes_per_coefficient].reshape(
+            w, geom.bytes_per_coefficient, B
+        )
+        mags = _horner_mod_lm(blocks, np.uint32(geom.bound)).astype(_I32) + 1
+        vals = mags * signums  # [w, B]
+
+    S = geom.num_swaps
+    if S == 0:
+        return jnp.concatenate([vals, jnp.zeros((d - w, B), _I32)], axis=0)
+
+    off = geom.index_stream_offset
+    bpi = geom.bytes_per_index
+    pad = max(0, off + S * bpi - n)
+    xb = jnp.pad(xof_bytes, ((0, pad), (0, 0))) if pad else xof_bytes
+    idx_blocks = xb[off : off + S * bpi].reshape(S, bpi, B)
+    i_vals = np.arange(d - 1, w, -1)  # [S]
+    avail = np.clip(n - (off + np.arange(S) * bpi), 0, bpi)  # [S]
+    mods = jnp.asarray((i_vals + 1).astype(np.uint32))[:, None]
+    r = jnp.zeros((S, B), _U32)
+    for k in range(bpi):
+        nxt = (r * np.uint32(256) + idx_blocks[:, k].astype(_U32)) % mods
+        r = jnp.where(jnp.asarray(k < avail)[:, None], nxt, r)
+    j_all = r.astype(_I32)  # [S, B]
+
+    p0 = jnp.broadcast_to(jnp.arange(w, dtype=_I32)[:, None], (w, B))
+
+    def swap(p, xs):
+        i_t, j_t = xs  # scalar int32, [B]
+        j = j_t[None, :]  # [1, B]
+        at_i = (p == i_t).astype(_I32)
+        at_j = (p == j).astype(_I32)
+        return p + at_i * (j - i_t) + at_j * (i_t - j), None
+
+    pos, _ = jax.lax.scan(
+        swap, p0, (jnp.asarray(i_vals, _I32), j_all), unroll=unroll
+    )
+    iota_d = jax.lax.broadcasted_iota(_I32, (1, d, 1), 1)
+    hits = (pos[:, None, :] == iota_d).astype(_I32)  # [w, d, B]
+    return jnp.sum(vals[:, None, :] * hits, axis=0)  # [d, B]

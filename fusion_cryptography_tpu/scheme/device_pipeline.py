@@ -40,7 +40,13 @@ import numpy as np
 
 from ..interop import device_serial as ds
 from ..ops import xof_decode
-from ..ops.keccak import RATE, shake256_absorb_lanes, shake256_squeeze_lanes
+from ..ops.keccak import (
+    RATE,
+    shake256_absorb_lanes,
+    shake256_absorb_lanes_lm,
+    shake256_squeeze_lanes,
+    shake256_squeeze_lanes_lm,
+)
 from ..ops.ntt import ntt_fwd_u, ntt_inv_u
 from ..params import Params
 from ..hashing.xof import agg_block_len, challenge_xof_len, hash_message_to_int
@@ -54,6 +60,11 @@ def _pad_rate(n: int) -> int:
 
 def _shake(buf, lens, n_out: int):
     return shake256_squeeze_lanes(shake256_absorb_lanes(buf, lens), n_out)
+
+
+def _shake_lm(buf, lens, n_out: int):
+    """Lane-major SHAKE256: buf uint8[W, B] -> uint8[n_out, B]."""
+    return shake256_squeeze_lanes_lm(shake256_absorb_lanes_lm(buf, lens), n_out)
 
 
 def prehash_digits(params: Params, messages: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
@@ -73,18 +84,27 @@ def prehash_digits(params: Params, messages: Sequence[str]) -> Tuple[np.ndarray,
 def _geometries(params: Params):
     bound_ch = max(1, min(params.modulus // 2, params.beta_ch))
     bound_ag = max(1, min(params.modulus // 2, params.beta_ag))
+    ch_spec = ds.challenge_preimage_spec(params)
+    tri_spec = ds.triple_spec(params)
+    n_xof_ch = challenge_xof_len(
+        params.secpar, params.degree, params.modulus, params.beta_ch, params.omega_ch
+    )
+    geom_ch = xof_decode.geometry(
+        params.secpar, params.modulus, params.degree, bound_ch, params.omega_ch
+    )
     return dict(
-        ch_spec=ds.challenge_preimage_spec(params),
-        tri_spec=ds.triple_spec(params),
-        n_xof_ch=challenge_xof_len(
-            params.secpar, params.degree, params.modulus, params.beta_ch, params.omega_ch
-        ),
+        ch_spec=ch_spec,
+        tri_spec=tri_spec,
+        tri_min=ds.spec_min_total(tri_spec, [1]),
+        n_xof_ch=n_xof_ch,
+        # the decoder never reads the stream tail (see consumed_bytes):
+        # squeezing only the consumed prefix is bit-exact and saves ~20% of
+        # the challenge-XOF keccak permutations
+        n_xof_ch_used=xof_decode.consumed_bytes(geom_ch, n_xof_ch),
         block_ag=agg_block_len(
             params.secpar, params.degree, params.modulus, params.beta_ag, params.omega_ag
         ),
-        geom_ch=xof_decode.geometry(
-            params.secpar, params.modulus, params.degree, bound_ch, params.omega_ch
-        ),
+        geom_ch=geom_ch,
         geom_ag=xof_decode.geometry(
             params.secpar, params.modulus, params.degree, bound_ag, params.omega_ag
         ),
@@ -93,7 +113,12 @@ def _geometries(params: Params):
 
 @lru_cache(maxsize=32)
 def _pipeline(params: Params, n_signers: int, signer_chunk: int, group_chunk: int):
-    """Build the jitted grouped-verify function for one (params, N) shape."""
+    """Build the jitted grouped-verify function for one (params, N) shape.
+
+    The whole hash half runs *lane-major* (byte axis major, batch minor —
+    uint8[W, B]) so every elementwise op fills the VPU lanes with batch
+    elements; see ops/ragged.py.  ``signer_chunk``/``group_chunk`` bound the
+    per-launch batch (callers split large G into multiple launches)."""
     plan = params.plan
     F = plan.field
     g = _geometries(params)
@@ -103,61 +128,57 @@ def _pipeline(params: Params, n_signers: int, signer_chunk: int, group_chunk: in
     agg_spec = ds.agg_preimage_spec(params, N, tri_spec.out_max)
     a_mont = F.to_mont(F.to_unsigned(jnp.asarray(params.public_challenge)))
 
-    def signer_stage(xs):
-        """[chunk, ...] per-signer work: preimage -> XOF -> decode -> NTT -> triple."""
-        vk2d, pre_buf, pre_len = xs  # [c, 2d] i32, [c, 78] u8, [c] i32
-        buf, total = ds.assemble(ch_spec, values=vk2d, extras=[(pre_buf, pre_len)])
-        buf = jnp.pad(buf, ((0, 0), (0, _pad_rate(ch_spec.out_max) - buf.shape[1])))
-        xof = _shake(buf, total, g["n_xof_ch"])
-        cc = xof_decode.decode_coeffs(xof, g["geom_ch"])  # [c, d] int32
-        c_hat_u = ntt_fwd_u(plan, F.to_unsigned(cc))
-        c_hat = F.to_centered(c_hat_u)
-        tvals = jnp.concatenate([vk2d, c_hat], axis=1)  # [c, 3d]
-        tbuf, tlen = ds.assemble(tri_spec, values=tvals, extras=[(pre_buf, pre_len)])
+    def signer_stage(vk2d_t, pre_buf_t, pre_len):
+        """Per-signer work, lane-major: preimage -> XOF -> decode -> NTT -> triple.
+
+        vk2d_t i32[2d, B], pre_buf_t u8[78, B], pre_len i32[B].
+        """
+        buf, total = ds.assemble_chunks_lm(
+            ch_spec, values=vk2d_t, extras=[(pre_buf_t, pre_len)],
+            extra_bounds=[(1, ds.PREHASH_W)],
+        )
+        buf = jnp.pad(buf, ((0, _pad_rate(ch_spec.out_max) - buf.shape[0]), (0, 0)))
+        xof = _shake_lm(buf, total, g["n_xof_ch_used"])
+        cc_t = xof_decode.decode_coeffs_lm(xof, g["geom_ch"])  # [d, B] int32
+        cc = cc_t.T
+        c_hat_u = ntt_fwd_u(plan, F.to_unsigned(cc))  # [B, d]
+        c_hat_t = F.to_centered(c_hat_u).T  # [d, B]
+        tvals_t = jnp.concatenate([vk2d_t, c_hat_t], axis=0)  # [3d, B]
+        tbuf, tlen = ds.assemble_chunks_lm(
+            tri_spec, values=tvals_t, extras=[(pre_buf_t, pre_len)],
+            extra_bounds=[(1, ds.PREHASH_W)],
+        )
         return cc, c_hat_u, tbuf, tlen
 
-    def group_stage(xs):
-        """[gc, ...] per-group work: aggregation preimage -> XOF -> alpha decode."""
-        tbuf, tlen = xs  # [gc, N, Lt] u8, [gc, N] i32
-        extras = [(tbuf[:, k], tlen[:, k]) for k in range(N)]
-        gbuf, gtotal = ds.assemble(agg_spec, extras=extras)
-        gbuf = jnp.pad(gbuf, ((0, 0), (0, _pad_rate(agg_spec.out_max) - gbuf.shape[1])))
-        blob = _shake(gbuf, gtotal, N * g["block_ag"])  # [gc, N*block]
-        gc = tbuf.shape[0]
-        per = blob.reshape(gc, N, g["block_ag"]).reshape(gc * N, g["block_ag"])
-        al = xof_decode.decode_coeffs(per, g["geom_ag"])
-        return al.reshape(gc, N, d)
+    def group_stage(tbuf, tlen):
+        """Per-group work, lane-major: aggregation preimage -> XOF -> alphas.
 
-    def _chunked(fn, args, total: int, chunk: int):
-        """lax.map ``fn`` over leading-axis chunks (exact divisor or single shot)."""
-        if total <= chunk or total % chunk:
-            return fn(args)
-        n = total // chunk
-        reshaped = tuple(a.reshape(n, chunk, *a.shape[1:]) for a in args)
-        outs = jax.lax.map(fn, reshaped)
-        return tuple(o.reshape(total, *o.shape[2:]) for o in outs)
+        tbuf u8[Lt, G, N] (signer-stage triple buffers), tlen i32[G, N].
+        """
+        G = tbuf.shape[1]
+        extras = [(tbuf[:, :, k], tlen[:, k]) for k in range(N)]
+        gbuf, gtotal = ds.assemble_chunks_lm(
+            agg_spec, extras=extras,
+            extra_bounds=[(g["tri_min"], tri_spec.out_max)] * N,
+        )
+        gbuf = jnp.pad(gbuf, ((0, _pad_rate(agg_spec.out_max) - gbuf.shape[0]), (0, 0)))
+        blob = _shake_lm(gbuf, gtotal, N * g["block_ag"])  # [N*block, G]
+        per = jnp.moveaxis(blob.reshape(N, g["block_ag"], G), 0, 2)  # [block, G, N]
+        al_t = xof_decode.decode_coeffs_lm(
+            per.reshape(g["block_ag"], G * N), g["geom_ag"]
+        )  # [d, G*N]
+        return al_t.T.reshape(G, N, d)
 
     def grouped_verify(vks, pre_buf, pre_len, aggs):
         """vks i32[G, N, 2, d]; prehash digits u8[G, N, 78] + i32[G, N];
         aggs i32[G, rank, d] -> (eq, norm_ok, weight_ok) bool[G] + coeff tensors."""
         G = vks.shape[0]
         B = G * N
-        vk2d = vks.reshape(B, 2 * d)
-        cc, c_hat_u, tbuf, tlen = _chunked(
-            signer_stage,
-            (vk2d, pre_buf.reshape(B, -1), pre_len.reshape(B)),
-            B,
-            signer_chunk,
+        vk2d_t = vks.reshape(B, 2 * d).T  # [2d, B]
+        cc, c_hat_u, tbuf, tlen = signer_stage(
+            vk2d_t, pre_buf.reshape(B, -1).T, pre_len.reshape(B)
         )
-        al = group_stage((tbuf.reshape(G, N, -1), tlen.reshape(G, N))) if (
-            G <= group_chunk or G % group_chunk
-        ) else jax.lax.map(
-            group_stage,
-            (
-                tbuf.reshape(G // group_chunk, group_chunk, N, -1),
-                tlen.reshape(G // group_chunk, group_chunk, N),
-            ),
-        ).reshape(G, N, d)
+        al = group_stage(tbuf.reshape(-1, G, N), tlen.reshape(G, N))
 
         # lattice verification (reference fusion.py:680-728 semantics)
         vk_u = F.to_unsigned(vks)  # [G, N, 2, d]
@@ -180,14 +201,41 @@ def _pipeline(params: Params, n_signers: int, signer_chunk: int, group_chunk: in
     return prod, debug
 
 
+def _launch_chunks(G: int, group_chunk: int):
+    """Launch-size schedule: as many full ``group_chunk`` launches as fit, then
+    one remainder launch (its shape compiles separately, once)."""
+    out = []
+    lo = 0
+    while lo < G:
+        hi = min(G, lo + group_chunk)
+        out.append((lo, hi))
+        lo = hi
+    return out
+
+
+def _run_chunked(fn, params, N, vks, pre_buf, pre_len, aggs, group_chunk, n_out):
+    G = vks.shape[0]
+    vks = jnp.asarray(vks)
+    aggs = jnp.asarray(aggs)
+    pre_buf = jnp.asarray(pre_buf.reshape(G, N, -1))
+    pre_len = jnp.asarray(pre_len.reshape(G, N))
+    parts = [
+        fn(vks[lo:hi], pre_buf[lo:hi], pre_len[lo:hi], aggs[lo:hi])
+        for lo, hi in _launch_chunks(G, group_chunk)
+    ]
+    if len(parts) == 1:
+        return parts[0]
+    return tuple(jnp.concatenate([p[k] for p in parts]) for k in range(n_out))
+
+
 def verify_batch_device(
     params: Params,
     vks,
     messages: Sequence[str],
     aggs,
     *,
-    signer_chunk: int = 8192,
-    group_chunk: int = 4096,
+    signer_chunk: int = 32768,
+    group_chunk: int = 8192,
 ):
     """Grouped verify with the full hash pipeline on device.
 
@@ -195,16 +243,14 @@ def verify_batch_device(
     reference's canonical order, fusion.py:661-663); messages flat G*N strings
     in the same order; aggs int32[G, rank, d].
     Returns (eq, norm_ok, weight_ok) bool[G] device arrays.
+
+    ``group_chunk`` bounds the per-launch batch (HBM working set); larger G
+    runs as several launches whose results are concatenated on device.
     """
     G, N = vks.shape[0], vks.shape[1]
     pre_buf, pre_len = prehash_digits(params, messages)
     fn, _ = _pipeline(params, N, signer_chunk, group_chunk)
-    return fn(
-        jnp.asarray(vks),
-        jnp.asarray(pre_buf.reshape(G, N, -1)),
-        jnp.asarray(pre_len.reshape(G, N)),
-        jnp.asarray(aggs),
-    )
+    return _run_chunked(fn, params, N, vks, pre_buf, pre_len, aggs, group_chunk, 3)
 
 
 def derive_coeffs_device(params: Params, vks, messages: Sequence[str], aggs, **kw):
@@ -212,12 +258,6 @@ def derive_coeffs_device(params: Params, vks, messages: Sequence[str], aggs, **k
     int32[G, N, d], alpha coeffs int32[G, N, d])."""
     G, N = vks.shape[0], vks.shape[1]
     pre_buf, pre_len = prehash_digits(params, messages)
-    _, fn = _pipeline(
-        params, N, kw.get("signer_chunk", 8192), kw.get("group_chunk", 4096)
-    )
-    return fn(
-        jnp.asarray(vks),
-        jnp.asarray(pre_buf.reshape(G, N, -1)),
-        jnp.asarray(pre_len.reshape(G, N)),
-        jnp.asarray(aggs),
-    )
+    group_chunk = kw.get("group_chunk", 8192)
+    _, fn = _pipeline(params, N, kw.get("signer_chunk", 32768), group_chunk)
+    return _run_chunked(fn, params, N, vks, pre_buf, pre_len, aggs, group_chunk, 5)
