@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--seed", type=int, default=None,
                     help="seed the global stream first for reproducible corpora")
     ap.add_argument("--secpars", type=int, nargs="*", default=[128, 256])
+    ap.add_argument("--signers", type=int, default=10,
+                    help="keypairs per security level (the reference uses 10)")
     args = ap.parse_args()
     out = Path(args.out_dir)
     out.mkdir(exist_ok=True)
@@ -43,7 +45,7 @@ def main():
         emit(out, f"fusion_setup_KAT_{secpar}.csv", [str((secpar, seed_a)), str(params)])
 
         otks, otvks, msgs, prehashed, challs, sigs = [], [], [], [], [], []
-        for i in range(10):
+        for i in range(args.signers):
             sk_seed = random.randint(0, 2**32 - 1)
             msgs.append(str(i))
             otks.append(api.keygen(params, sk_seed))
