@@ -307,20 +307,24 @@ def _compile_spec_uncached(spec: PreimageSpec):
             nodes.append(("cells", runs[0], runs[1], runs[2]))
             runs.clear()
 
+    # Runs only absorb short separators (the ", " between numbers): a long
+    # const (poly-body headers, ~250 B) becomes its own node so the uniform
+    # cell width stays tight and Pallas can emit it with scalar fills.
+    MAX_SEP = 8
+
     for k in range(len(spec.kind)):
         kind, arg = int(spec.kind[k]), int(spec.arg[k])
         if kind == _KIND_CONST:
             cl = int(spec.const_len[k])
-            piece = bytes(spec.template[arg : arg + cl].tobytes())
-            if runs:
-                flush_run()
-            pending += piece
+            pending += bytes(spec.template[arg : arg + cl].tobytes())
         elif kind == _KIND_NUMBER:
             if runs and runs[0] == pending and runs[1] + runs[2] == arg:
                 runs[2] += 1
                 pending = b""
             else:
                 flush_run()
+                if len(pending) > MAX_SEP:
+                    flush_pending()
                 sep, pending = pending, b""
                 runs.extend([sep, arg, 1])
         else:  # extra
@@ -425,22 +429,24 @@ from ..ops.ragged import (  # noqa: E402
 )
 
 
-def _number_cells_lm(sep: bytes, field, start, length, count: int) -> Chunk:
+def _number_cells_lm(sep: bytes, field, start, length, count: int,
+                     byte_dtype=jnp.uint8) -> Chunk:
     """Left-aligned (sep ++ decimal) cells, lane-major.
 
     field uint8[K, DEC_W, B], start/length int32[K, B] -> Chunk[K, s+DEC_W, B].
+    Separator bytes enter as scalar fills (one [K, 1, B] splat per byte) so
+    the same code traces inside Pallas kernels, where captured array constants
+    and sublane+lane broadcasts are unsupported.
     """
+    bd = jnp.dtype(byte_dtype)
     B = field.shape[-1]
     aligned = shift_left_lm(field, start, DEC_W - 1)
     pos = jnp.arange(DEC_W, dtype=jnp.int32)
-    aligned = jnp.where(pos[None, :, None] < length[:, None, :], aligned, np.uint8(0))
+    aligned = jnp.where(pos[None, :, None] < length[:, None, :], aligned, jnp.asarray(0, bd))
     s = len(sep)
     if s:
-        sep_b = jnp.broadcast_to(
-            jnp.asarray(np.frombuffer(sep, dtype=np.uint8))[None, :, None],
-            (count, s, B),
-        )
-        buf = jnp.concatenate([sep_b, aligned], axis=1)
+        sep_cols = [jnp.full((count, 1, B), c, dtype=bd) for c in sep]
+        buf = jnp.concatenate(sep_cols + [aligned], axis=1)
     else:
         buf = aligned
     return Chunk(buf=buf, length=length + np.int32(s), max_len=s + DEC_W, min_len=s + 1)

@@ -115,6 +115,11 @@ def _load() -> Optional[ctypes.CDLL]:
             i32p, u32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
         ]
         lib.fn_ntt_fwd_batch.restype = ctypes.c_int
+        lib.fn_prehash_digits.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, u64p,
+            ctypes.c_int32, u8p, i32p, ctypes.c_int32,
+        ]
+        lib.fn_prehash_digits.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -374,3 +379,24 @@ def format_poly(class_name: bytes, meta: bytes, field_name: bytes,
         v.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), d, buf,
     )
     return buf.raw[:n]
+
+
+def prehash_digits_batch(pre_dst: bytes, messages: Sequence[bytes],
+                         n_threads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched sha3_256(dst + "," + msg) -> (decimal digit bytes uint8[n, 78]
+    zero-padded, lengths int32[n]) — the host half of the device verify
+    pipeline (fusion/fusion.py:405-409 rendered as str(int))."""
+    lib = _load()
+    blob, offs = _pack_blobs(list(messages))
+    n = len(messages)
+    out = np.zeros((n, 78), dtype=np.uint8)
+    lens = np.zeros(n, dtype=np.int32)
+    if n_threads <= 0:
+        n_threads = min(16, os.cpu_count() or 1)
+    lib.fn_prehash_digits(
+        pre_dst, len(pre_dst),
+        blob, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_threads,
+    )
+    return out, lens

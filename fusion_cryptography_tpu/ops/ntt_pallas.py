@@ -33,34 +33,59 @@ _U32 = jnp.uint32
 _I32 = jnp.int32
 
 
+def _expand_stage_twiddles(tw_np: np.ndarray, d: int, inverse: bool) -> np.ndarray:
+    """Per-stage twiddles pre-expanded to butterfly-slot order.
+
+    Mosaic cannot broadcast a [m, 1, 1] vector into both sublanes and lanes
+    ("Broadcast in both sublanes and lanes" is unimplemented), so instead of
+    slicing ``tw[m:2m]`` in-kernel and broadcasting over (t, TB), each stage's
+    twiddles are repeated ``t`` times on the host: stage s occupies rows
+    [s*d/2, (s+1)*d/2) with ``tw[m + i]`` at row ``i*t + j`` — exactly the
+    [m, t, 1] shape the butterfly needs, leaving only a lane broadcast.
+    """
+    half = d // 2
+    stages = []
+    m = 1 if not inverse else half
+    while (m < d) if not inverse else (m >= 1):
+        t = d // (2 * m)
+        stages.append(np.repeat(tw_np[m : 2 * m], t))
+        m = m * 2 if not inverse else m // 2
+    out = np.concatenate(stages).reshape(len(stages) * half, 1)
+    return out.astype(np.uint32)
+
+
 def _fwd_body(F: Field, d: int, x, tw, tw_sh):
-    """x: uint32[d, TB]; tw/tw_sh: uint32[d, 1]."""
+    """x: uint32[d, TB]; tw/tw_sh: uint32[log2(d)*d/2, 1] stage-expanded."""
     TB = x.shape[-1]
-    m = 1
+    half = d // 2
+    m, s_idx = 1, 0
     while m < d:
         t = d // (2 * m)
         x = x.reshape(m, 2, t, TB)
-        s = tw[m : 2 * m].reshape(m, 1, 1)
-        sh = tw_sh[m : 2 * m].reshape(m, 1, 1)
+        s = tw[s_idx * half : (s_idx + 1) * half].reshape(m, t, 1)
+        sh = tw_sh[s_idx * half : (s_idx + 1) * half].reshape(m, t, 1)
         u = x[:, 0]
         v = F.mul_mod_shoup(x[:, 1], s, sh)
         x = jnp.stack([F.add_mod(u, v), F.sub_mod(u, v)], axis=1)
         m *= 2
+        s_idx += 1
     return x.reshape(d, TB)
 
 
 def _inv_body(F: Field, d: int, x, tw, tw_sh, n_inv: int, n_inv_sh: int):
     TB = x.shape[-1]
-    h = d // 2
+    half = d // 2
+    h, s_idx = d // 2, 0
     while h >= 1:
         t = d // (2 * h)
         x = x.reshape(h, 2, t, TB)
-        s = tw[h : 2 * h].reshape(h, 1, 1)
-        sh = tw_sh[h : 2 * h].reshape(h, 1, 1)
+        s = tw[s_idx * half : (s_idx + 1) * half].reshape(h, t, 1)
+        sh = tw_sh[s_idx * half : (s_idx + 1) * half].reshape(h, t, 1)
         u = x[:, 0]
         v = x[:, 1]
         x = jnp.stack([F.add_mod(u, v), F.mul_mod_shoup(F.sub_mod(u, v), s, sh)], axis=1)
         h //= 2
+        s_idx += 1
     x = x.reshape(d, TB)
     return F.mul_mod_shoup(x, np.uint32(n_inv), np.uint32(n_inv_sh))
 
@@ -82,8 +107,11 @@ def _build(plan: NTTPlan, inverse: bool, tile: int, interpret: bool):
 
     tw_np = plan.brp_inv if inverse else plan.brp
     twsh_np = plan.brp_inv_shoup if inverse else plan.brp_shoup
-    tw_c = jnp.asarray(tw_np.reshape(d, 1))
-    twsh_c = jnp.asarray(twsh_np.reshape(d, 1))
+    # kept as NUMPY: a jnp constant created inside one jit trace and cached
+    # here would leak into later traces (UnexpectedTracerError)
+    tw_c = _expand_stage_twiddles(np.asarray(tw_np, np.uint32), d, inverse)
+    twsh_c = _expand_stage_twiddles(np.asarray(twsh_np, np.uint32), d, inverse)
+    rows = tw_c.shape[0]
 
     def call(xT):
         """xT: int32[d, n] (transposed batch)."""
@@ -95,8 +123,8 @@ def _build(plan: NTTPlan, inverse: bool, tile: int, interpret: bool):
             grid=grid,
             in_specs=[
                 pl.BlockSpec((d, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((d, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             interpret=interpret,

@@ -224,12 +224,16 @@ def fold_chunks(nodes) -> Chunk:
 # ---------------------------------------------------------------------------
 
 
-def render_decimal_lm(values):
-    """int32[..., B] -> (field uint8[..., DEC_W, B], start, length int32[..., B]).
+def render_decimal_lm(values, byte_dtype=jnp.uint8):
+    """int32[..., B] -> (field byte_dtype[..., DEC_W, B], start, length int32[..., B]).
 
     Lane-major twin of :func:`render_decimal`: the decimal axis is inserted
-    *before* the trailing batch axis.
+    *before* the trailing batch axis.  ``byte_dtype`` selects the byte
+    carrier: uint8 for the XLA path, int16 inside Pallas kernels (Mosaic has
+    no i8 vector arithmetic and no i16 comparisons — every comparison here is
+    on int32/uint32 operands, only the selects run in ``byte_dtype``).
     """
+    bd = jnp.dtype(byte_dtype)
     v = jnp.asarray(values, _I32)
     neg = v < 0
     a = jnp.where(neg, -v, v).astype(_U32)
@@ -237,7 +241,7 @@ def render_decimal_lm(values):
     cur = a
     for _ in range(DEC_W - 1):
         nxt = cur // np.uint32(10)
-        digs.append((cur - nxt * np.uint32(10)).astype(jnp.uint8) + np.uint8(ord("0")))
+        digs.append((cur - nxt * np.uint32(10) + np.uint32(ord("0"))).astype(bd))
         cur = nxt
     field = jnp.stack(digs[::-1], axis=-2)  # [..., 10, B]
     nd = jnp.ones(a.shape, _I32)
@@ -246,12 +250,12 @@ def render_decimal_lm(values):
     length = nd + neg.astype(_I32)
     start = np.int32(DEC_W) - length
     field = jnp.concatenate(
-        [jnp.zeros(field.shape[:-2] + (1,) + field.shape[-1:], jnp.uint8), field],
+        [jnp.zeros(field.shape[:-2] + (1,) + field.shape[-1:], bd), field],
         axis=-2,
     )  # [..., 11, B]
     pos = jax.lax.broadcasted_iota(_I32, field.shape, field.ndim - 2)
     sign_here = neg[..., None, :] & (pos == start[..., None, :])
-    return jnp.where(sign_here, np.uint8(ord("-")), field), start, length
+    return jnp.where(sign_here, jnp.asarray(ord("-"), bd), field), start, length
 
 
 def shift_left_lm(buf, s, max_s: int):
@@ -301,16 +305,23 @@ def merge_lm(a: Chunk, b: Chunk) -> Chunk:
 
 def merge_cells_lm(cells: Chunk) -> Chunk:
     """Reduce a uniform [K, W, B] cell batch to one [K*max_len, B] chunk by
-    pairwise merging along the leading K axis."""
+    pairwise merging along the leading K axis.
+
+    Pairs split via a [K/2, 2, W, B] reshape + unit slices (contiguous) —
+    strided slicing like ``buf[0::2]`` lowers to a >2D gather, which Mosaic
+    rejects when this runs inside a Pallas kernel.
+    """
     tails = []
     cur = cells
     while cur.buf.shape[0] > 1:
         K = cur.buf.shape[0]
         half = K // 2
-        even = Chunk(cur.buf[0 : 2 * half : 2], cur.length[0 : 2 * half : 2], cur.max_len, cur.min_len)
-        odd = Chunk(cur.buf[1 : 2 * half : 2], cur.length[1 : 2 * half : 2], cur.max_len, cur.min_len)
         if K % 2:
             tails.append(Chunk(cur.buf[K - 1], cur.length[K - 1], cur.max_len, cur.min_len))
+        pb = cur.buf[: 2 * half].reshape(half, 2, *cur.buf.shape[1:])
+        plen = cur.length[: 2 * half].reshape(half, 2, *cur.length.shape[1:])
+        even = Chunk(pb[:, 0], plen[:, 0], cur.max_len, cur.min_len)
+        odd = Chunk(pb[:, 1], plen[:, 1], cur.max_len, cur.min_len)
         cur = merge_lm(even, odd)
     out = Chunk(cur.buf[0], cur.length[0], cur.max_len, cur.min_len)
     for t in reversed(tails):

@@ -67,9 +67,108 @@ def _shake_lm(buf, lens, n_out: int):
     return shake256_squeeze_lanes_lm(shake256_absorb_lanes_lm(buf, lens), n_out)
 
 
+def use_pallas_default() -> bool:
+    """Fused Pallas kernels on real TPUs; XLA path elsewhere (CPU tests) or
+    when FUSION_DISABLE_PALLAS is set."""
+    import os
+
+    if os.environ.get("FUSION_DISABLE_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def make_stages(params: Params, n_signers: int, use_pallas: bool):
+    """The lane-major hash stages shared by grouped verify (this module) and
+    the on-device benchmark setup (scheme/device_setup.py).
+
+    signer_stage(vk2d_t i32[2d, B], pre_buf_t u8[78, B], pre_len i32[B]) ->
+        (cc i32[B, d], c_hat_u u32[B, d], tbuf u8/i16[Lt, B], tlen i32[B])
+    group_stage(tbuf [Lt, G, N], tlen i32[G, N]) -> alphas i32[G, N, d]
+
+    Two implementations per stage: fused Pallas kernels (assembly in VMEM,
+    word-packed preimages straight into the resident-state sponge) when the
+    batch tiles into [8, 128] vregs, else the pure-XLA lane-major path (CPU
+    tests, ragged tails).  Both are byte-exact twins.
+    """
+    plan = params.plan
+    F = plan.field
+    g = _geometries(params)
+    d = params.degree
+    N = n_signers
+    ch_spec, tri_spec = g["ch_spec"], g["tri_spec"]
+    agg_spec = ds.agg_preimage_spec(params, N, tri_spec.out_max)
+    pre_bounds = [(1, ds.PREHASH_W)]
+    tri_bounds = [(g["tri_min"], tri_spec.out_max)] * N
+
+    def _hash_stage(spec, values, extras, bounds, n_out: int, B: int):
+        """preimage assembly + SHAKE -> uint8[n_out, B] XOF stream."""
+        if use_pallas and B % 1024 == 0:
+            from ..ops.assemble_pallas import assemble_pallas
+            from ..ops.keccak_pallas import shake256_words_pallas
+
+            words, total = assemble_pallas(
+                spec, values=values, extras=extras, extra_bounds=bounds,
+                pad_to=_pad_rate(spec.out_max), output="words",
+            )
+            return shake256_words_pallas(words, total, n_out)
+        extras = [(eb.astype(jnp.uint8), el) for eb, el in extras]
+        buf, total = ds.assemble_chunks_lm(
+            spec, values=values, extras=extras, extra_bounds=bounds
+        )
+        pad = _pad_rate(spec.out_max) - buf.shape[0]
+        if pad > 0:
+            buf = jnp.pad(buf, ((0, pad), (0, 0)))
+        return _shake_lm(buf, total, n_out)
+
+    def signer_stage(vk2d_t, pre_buf_t, pre_len):
+        B = vk2d_t.shape[1]
+        xof = _hash_stage(
+            ch_spec, vk2d_t, [(pre_buf_t, pre_len)], pre_bounds, g["n_xof_ch_used"], B
+        )
+        cc_t = xof_decode.decode_coeffs_lm(xof, g["geom_ch"])  # [d, B] int32
+        cc = cc_t.T
+        c_hat_u = ntt_fwd_u(plan, F.to_unsigned(cc))  # [B, d]
+        c_hat_t = F.to_centered(c_hat_u).T  # [d, B]
+        tvals_t = jnp.concatenate([vk2d_t, c_hat_t], axis=0)  # [3d, B]
+        if use_pallas and B % 128 == 0:
+            from ..ops.assemble_pallas import assemble_pallas
+
+            tbuf, tlen = assemble_pallas(
+                tri_spec, values=tvals_t, extras=[(pre_buf_t, pre_len)],
+                extra_bounds=pre_bounds, output="bytes16",
+            )
+        else:
+            tbuf, tlen = ds.assemble_chunks_lm(
+                tri_spec, values=tvals_t, extras=[(pre_buf_t, pre_len)],
+                extra_bounds=pre_bounds,
+            )
+        return cc, c_hat_u, tbuf, tlen
+
+    def group_stage(tbuf, tlen):
+        G = tbuf.shape[1]
+        extras = [(tbuf[:, :, k], tlen[:, k]) for k in range(N)]
+        blob = _hash_stage(agg_spec, None, extras, tri_bounds, N * g["block_ag"], G)
+        per = jnp.moveaxis(blob.reshape(N, g["block_ag"], G), 0, 2)  # [block, G, N]
+        al_t = xof_decode.decode_coeffs_lm(
+            per.reshape(g["block_ag"], G * N), g["geom_ag"]
+        )  # [d, G*N]
+        return al_t.T.reshape(G, N, d)
+
+    return signer_stage, group_stage
+
+
 def prehash_digits(params: Params, messages: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
     """Host half: SHA3-256 prehash of each message rendered as ``str(int)``
     bytes (uint8[B, 78], int32[B]) for the device preimage assemblers."""
+    from .. import native
+
+    if native.available() and len(messages) > 64:
+        return native.prehash_digits_batch(
+            bytes(params.sign_pre_hash_dst), [m.encode("utf-8") for m in messages]
+        )
     B = len(messages)
     buf = np.zeros((B, ds.PREHASH_W), dtype=np.uint8)
     lens = np.zeros(B, dtype=np.int32)
@@ -113,74 +212,40 @@ def _geometries(params: Params):
 
 @lru_cache(maxsize=32)
 def _pipeline(params: Params, n_signers: int, signer_chunk: int, group_chunk: int):
-    """Build the jitted grouped-verify function for one (params, N) shape.
+    """Build the grouped-verify function for one (params, N) shape.
 
     The whole hash half runs *lane-major* (byte axis major, batch minor —
     uint8[W, B]) so every elementwise op fills the VPU lanes with batch
-    elements; see ops/ragged.py.  ``signer_chunk``/``group_chunk`` bound the
-    per-launch batch (callers split large G into multiple launches)."""
+    elements; see ops/ragged.py.
+
+    The three stages (signer hashing, group hashing, lattice verification)
+    compile as SEPARATE jits composed in Python: a single module holding all
+    the fused Pallas kernels overflows the remote compile helper's memory
+    (observed SIGKILL), and dispatch is asynchronous so the extra launch
+    boundaries cost nothing — the only host sync is the caller's final pull.
+    """
     plan = params.plan
     F = plan.field
-    g = _geometries(params)
     d = params.degree
     N = n_signers
-    ch_spec, tri_spec = g["ch_spec"], g["tri_spec"]
-    agg_spec = ds.agg_preimage_spec(params, N, tri_spec.out_max)
     a_mont = F.to_mont(F.to_unsigned(jnp.asarray(params.public_challenge)))
+    signer_stage, group_stage = make_stages(params, N, use_pallas_default())
 
-    def signer_stage(vk2d_t, pre_buf_t, pre_len):
-        """Per-signer work, lane-major: preimage -> XOF -> decode -> NTT -> triple.
-
-        vk2d_t i32[2d, B], pre_buf_t u8[78, B], pre_len i32[B].
-        """
-        buf, total = ds.assemble_chunks_lm(
-            ch_spec, values=vk2d_t, extras=[(pre_buf_t, pre_len)],
-            extra_bounds=[(1, ds.PREHASH_W)],
-        )
-        buf = jnp.pad(buf, ((0, _pad_rate(ch_spec.out_max) - buf.shape[0]), (0, 0)))
-        xof = _shake_lm(buf, total, g["n_xof_ch_used"])
-        cc_t = xof_decode.decode_coeffs_lm(xof, g["geom_ch"])  # [d, B] int32
-        cc = cc_t.T
-        c_hat_u = ntt_fwd_u(plan, F.to_unsigned(cc))  # [B, d]
-        c_hat_t = F.to_centered(c_hat_u).T  # [d, B]
-        tvals_t = jnp.concatenate([vk2d_t, c_hat_t], axis=0)  # [3d, B]
-        tbuf, tlen = ds.assemble_chunks_lm(
-            tri_spec, values=tvals_t, extras=[(pre_buf_t, pre_len)],
-            extra_bounds=[(1, ds.PREHASH_W)],
-        )
-        return cc, c_hat_u, tbuf, tlen
-
-    def group_stage(tbuf, tlen):
-        """Per-group work, lane-major: aggregation preimage -> XOF -> alphas.
-
-        tbuf u8[Lt, G, N] (signer-stage triple buffers), tlen i32[G, N].
-        """
-        G = tbuf.shape[1]
-        extras = [(tbuf[:, :, k], tlen[:, k]) for k in range(N)]
-        gbuf, gtotal = ds.assemble_chunks_lm(
-            agg_spec, extras=extras,
-            extra_bounds=[(g["tri_min"], tri_spec.out_max)] * N,
-        )
-        gbuf = jnp.pad(gbuf, ((0, _pad_rate(agg_spec.out_max) - gbuf.shape[0]), (0, 0)))
-        blob = _shake_lm(gbuf, gtotal, N * g["block_ag"])  # [N*block, G]
-        per = jnp.moveaxis(blob.reshape(N, g["block_ag"], G), 0, 2)  # [block, G, N]
-        al_t = xof_decode.decode_coeffs_lm(
-            per.reshape(g["block_ag"], G * N), g["geom_ag"]
-        )  # [d, G*N]
-        return al_t.T.reshape(G, N, d)
-
-    def grouped_verify(vks, pre_buf, pre_len, aggs):
-        """vks i32[G, N, 2, d]; prehash digits u8[G, N, 78] + i32[G, N];
-        aggs i32[G, rank, d] -> (eq, norm_ok, weight_ok) bool[G] + coeff tensors."""
+    @jax.jit
+    def j_signer(vks, pre_buf, pre_len):
         G = vks.shape[0]
         B = G * N
         vk2d_t = vks.reshape(B, 2 * d).T  # [2d, B]
-        cc, c_hat_u, tbuf, tlen = signer_stage(
-            vk2d_t, pre_buf.reshape(B, -1).T, pre_len.reshape(B)
-        )
-        al = group_stage(tbuf.reshape(-1, G, N), tlen.reshape(G, N))
+        return signer_stage(vk2d_t, pre_buf.reshape(B, -1).T, pre_len.reshape(B))
 
-        # lattice verification (reference fusion.py:680-728 semantics)
+    @jax.jit
+    def j_group(tbuf, tlen):
+        return group_stage(tbuf, tlen)
+
+    @jax.jit
+    def j_lattice(vks, c_hat_u, al, aggs):
+        """Lattice verification (reference fusion.py:680-728 semantics)."""
+        G = vks.shape[0]
         vk_u = F.to_unsigned(vks)  # [G, N, 2, d]
         c_u = c_hat_u.reshape(G, N, d)
         alpha_u = ntt_fwd_u(plan, F.to_unsigned(al))  # [G, N, d]
@@ -194,11 +259,19 @@ def _pipeline(params: Params, n_signers: int, signer_chunk: int, group_chunk: in
         norm_ok = norm <= np.int32(min(params.beta_vf, 2**31 - 1))
         weight = jnp.max(jnp.sum((coef % np.int32(params.modulus)) != 0, axis=-1), axis=-1)
         weight_ok = weight <= np.int32(params.omega_vf)
+        return eq, norm_ok, weight_ok
+
+    def grouped_verify(vks, pre_buf, pre_len, aggs):
+        """vks i32[G, N, 2, d]; prehash digits u8[G, N, 78] + i32[G, N];
+        aggs i32[G, rank, d] -> (eq, norm_ok, weight_ok) bool[G] (+ coeffs)."""
+        G = vks.shape[0]
+        cc, c_hat_u, tbuf, tlen = j_signer(vks, pre_buf, pre_len)
+        al = j_group(tbuf.reshape(-1, G, N), tlen.reshape(G, N))
+        eq, norm_ok, weight_ok = j_lattice(vks, c_hat_u, al, aggs)
         return eq, norm_ok, weight_ok, cc.reshape(G, N, d), al
 
-    prod = jax.jit(lambda *a: grouped_verify(*a)[:3])
-    debug = jax.jit(grouped_verify)
-    return prod, debug
+    prod = lambda *a: grouped_verify(*a)[:3]  # noqa: E731
+    return prod, grouped_verify
 
 
 def _launch_chunks(G: int, group_chunk: int):

@@ -964,3 +964,63 @@ void fn_sample_uniform_batch(const uint64_t *seeds, int32_t n_seeds, int32_t deg
             o[i] = (int32_t)((int64_t)mt_randbelow(&st, (uint64_t)modulus) - half);
     }
 }
+
+/* ------------------------------------------------------------------ */
+/* Batched message prehash: sha3_256(dst + "," + msg) -> decimal digits */
+/* (the host half of the device verify pipeline; everything else runs   */
+/* on the TPU)                                                          */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    const uint8_t *pre_dst; size_t pre_dst_len;
+    const uint8_t *msg_blob; const uint64_t *msg_off;
+    int32_t n;
+    uint8_t *out_digits;  /* [n * 78], zero-padded */
+    int32_t *out_lens;
+    int32_t next;
+    pthread_mutex_t lock;
+} prehash_job;
+
+static void *prehash_worker(void *arg) {
+    prehash_job *J = (prehash_job *)arg;
+    for (;;) {
+        pthread_mutex_lock(&J->lock);
+        int32_t i = J->next;
+        J->next += 256;
+        pthread_mutex_unlock(&J->lock);
+        if (i >= J->n) break;
+        int32_t end = i + 256 < J->n ? i + 256 : J->n;
+        for (; i < end; i++) {
+            uint8_t head[4096];
+            size_t mlen = (size_t)(J->msg_off[i + 1] - J->msg_off[i]);
+            size_t plen = J->pre_dst_len + 1 + mlen;
+            uint8_t *pre = plen <= sizeof head ? head : (uint8_t *)malloc(plen);
+            memcpy(pre, J->pre_dst, J->pre_dst_len);
+            pre[J->pre_dst_len] = ',';
+            memcpy(pre + J->pre_dst_len + 1, J->msg_blob + J->msg_off[i], mlen);
+            uint8_t digest[32];
+            fn_sha3_256(pre, plen, digest);
+            if (pre != head) free(pre);
+            char dec[80];
+            size_t dl = fn_u256_to_dec(digest, dec);
+            memset(J->out_digits + (size_t)i * 78, 0, 78);
+            memcpy(J->out_digits + (size_t)i * 78, dec, dl);
+            J->out_lens[i] = (int32_t)dl;
+        }
+    }
+    return NULL;
+}
+
+int fn_prehash_digits(const uint8_t *pre_dst, size_t pre_dst_len,
+                      const uint8_t *msg_blob, const uint64_t *msg_off,
+                      int32_t n, uint8_t *out_digits, int32_t *out_lens,
+                      int32_t n_threads) {
+    prehash_job J = {pre_dst, pre_dst_len, msg_blob, msg_off, n,
+                     out_digits, out_lens, 0, PTHREAD_MUTEX_INITIALIZER};
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 16) n_threads = 16;
+    pthread_t th[16];
+    for (int t = 0; t < n_threads; t++) pthread_create(&th[t], NULL, prehash_worker, &J);
+    for (int t = 0; t < n_threads; t++) pthread_join(th[t], NULL);
+    return 0;
+}
