@@ -27,7 +27,6 @@ def main():
     ap.add_argument("--signers", type=int, default=4)
     ap.add_argument("--secpar", type=int, default=256)
     ap.add_argument("--reps", type=int, default=4)
-    ap.add_argument("--signer-chunk", type=int, default=8192)
     ap.add_argument("--group-chunk", type=int, default=4096)
     args = ap.parse_args()
 
@@ -84,7 +83,7 @@ def main():
     log(f"host aggregate setup: {time.time()-t0:.1f}s")
 
     # ---- device pipeline ---------------------------------------------------
-    kw = dict(signer_chunk=args.signer_chunk, group_chunk=args.group_chunk)
+    kw = dict(group_chunk=args.group_chunk)
     t0 = time.time()
     eq, nok, wok = dp.verify_batch_device(params, grouped_vks, s_msgs, aggs, **kw)
     eq.block_until_ready()

@@ -24,9 +24,10 @@ Bit-exactness: every stage is the device twin of a host stage that is itself
 KAT-verified; tests/test_device_pipeline.py asserts equality of challenge and
 alpha coefficients and of verify verdicts against the host path.
 
-The signer-parallel front half (preimage -> XOF -> decode -> NTT) is wrapped
-in ``lax.map`` over fixed-size signer chunks so HBM stays bounded at large
-G*N; the group-parallel back half chunks likewise over groups.
+HBM is bounded by ``group_chunk``: a verify of G groups runs as ceil(G /
+group_chunk) separate launches (``_run_chunked``), so the per-launch working
+set — including the [3d, B] triple-value and [Lt, B] triple-preimage buffers
+of the signer half, B = group_chunk * N — never scales with total G.
 """
 from __future__ import annotations
 
@@ -68,16 +69,71 @@ def _shake_lm(buf, lens, n_out: int):
 
 
 def use_pallas_default() -> bool:
-    """Fused Pallas kernels on real TPUs; XLA path elsewhere (CPU tests) or
-    when FUSION_DISABLE_PALLAS is set."""
+    """Pallas kernels are OPT-IN (``FUSION_ENABLE_PALLAS=1``) and only honored
+    after a one-time on-backend compile self-check passes.
+
+    The default is the pure-XLA lane-major path: it is tested, portable, and
+    measured.  The fused Pallas sponge/assembly kernels do not compile on every
+    TPU deployment (remote ``tpu_compile_helper`` failures observed on
+    tunneled single-chip setups), so enabling them implicitly would trade a
+    working benchmark for an unbounded hang.  ``FUSION_DISABLE_PALLAS`` still
+    force-disables as before.
+    """
     import os
 
     if os.environ.get("FUSION_DISABLE_PALLAS"):
         return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
+    if not os.environ.get("FUSION_ENABLE_PALLAS"):
         return False
+    return _pallas_selfcheck()
+
+
+@lru_cache(maxsize=1)
+def _pallas_selfcheck() -> bool:
+    """Compile + run one tiny Pallas kernel on the default backend, bounded by
+    a watchdog.  Returns False (and warns) on any failure, so callers fall
+    back to the XLA path instead of hanging the whole process."""
+    import os
+    import threading
+    import warnings
+
+    timeout_s = float(os.environ.get("FUSION_PALLAS_SELFCHECK_TIMEOUT", "120"))
+    result = {"ok": False, "err": None}
+
+    def _probe():
+        try:
+            from hashlib import shake_256
+
+            from ..ops.keccak_pallas import shake256_lm_pallas
+
+            msg = b"pallas-selfcheck"
+            B = 1024  # minimum Pallas batch tile
+            buf = jnp.zeros((RATE, B), dtype=jnp.uint8)
+            buf = buf.at[: len(msg), :].set(
+                jnp.frombuffer(msg, dtype=jnp.uint8)[:, None]
+            )
+            lens = jnp.full((B,), len(msg), dtype=jnp.int32)
+            out = np.asarray(shake256_lm_pallas(buf, lens, 32))
+            result["ok"] = out[:, 0].tobytes() == shake_256(msg).digest(32)
+        except Exception as e:  # pragma: no cover - depends on backend
+            result["err"] = e
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        warnings.warn(
+            "FUSION_ENABLE_PALLAS set but the Pallas self-check did not "
+            f"finish within {timeout_s:.0f}s; falling back to the XLA path."
+        )
+        return False
+    if not result["ok"]:
+        warnings.warn(
+            "FUSION_ENABLE_PALLAS set but the Pallas self-check failed "
+            f"({result['err']}); falling back to the XLA path."
+        )
+        return False
+    return True
 
 
 def make_stages(params: Params, n_signers: int, use_pallas: bool):
@@ -211,7 +267,7 @@ def _geometries(params: Params):
 
 
 @lru_cache(maxsize=32)
-def _pipeline(params: Params, n_signers: int, signer_chunk: int, group_chunk: int):
+def _pipeline(params: Params, n_signers: int):
     """Build the grouped-verify function for one (params, N) shape.
 
     The whole hash half runs *lane-major* (byte axis major, batch minor —
@@ -307,7 +363,6 @@ def verify_batch_device(
     messages: Sequence[str],
     aggs,
     *,
-    signer_chunk: int = 32768,
     group_chunk: int = 8192,
 ):
     """Grouped verify with the full hash pipeline on device.
@@ -322,15 +377,16 @@ def verify_batch_device(
     """
     G, N = vks.shape[0], vks.shape[1]
     pre_buf, pre_len = prehash_digits(params, messages)
-    fn, _ = _pipeline(params, N, signer_chunk, group_chunk)
+    fn, _ = _pipeline(params, N)
     return _run_chunked(fn, params, N, vks, pre_buf, pre_len, aggs, group_chunk, 3)
 
 
-def derive_coeffs_device(params: Params, vks, messages: Sequence[str], aggs, **kw):
+def derive_coeffs_device(
+    params: Params, vks, messages: Sequence[str], aggs, *, group_chunk: int = 8192
+):
     """Debug/test entry: returns (eq, norm_ok, weight_ok, challenge coeffs
     int32[G, N, d], alpha coeffs int32[G, N, d])."""
     G, N = vks.shape[0], vks.shape[1]
     pre_buf, pre_len = prehash_digits(params, messages)
-    group_chunk = kw.get("group_chunk", 8192)
-    _, fn = _pipeline(params, N, kw.get("signer_chunk", 32768), group_chunk)
+    _, fn = _pipeline(params, N)
     return _run_chunked(fn, params, N, vks, pre_buf, pre_len, aggs, group_chunk, 5)

@@ -51,12 +51,15 @@ def test_device_pipeline_rejects_tampered(secpar=128):
 
 
 def test_device_pipeline_chunked_paths(secpar=128):
-    # exercise both lax.map chunk loops with exact divisors
+    # group_chunk=2 with G=5 forces two full launches plus a remainder launch
+    # (_launch_chunks -> [(0,2),(2,4),(4,5)]); results must concatenate to the
+    # unchunked verdicts bit-exactly
     params = ftpu.fusion_setup(secpar, 31)
-    G, N = 4, 2
+    G, N = 5, 2
     vks, msgs, aggs, cc_host, al_host = _build_groups(params, G, N, seed0=900)
+    assert dp._launch_chunks(G, 2) == [(0, 2), (2, 4), (4, 5)]
     eq, _, _, cc_dev, al_dev = dp.derive_coeffs_device(
-        params, vks, msgs, aggs, signer_chunk=4, group_chunk=2
+        params, vks, msgs, aggs, group_chunk=2
     )
     assert np.array_equal(np.asarray(cc_dev).reshape(G, N, -1), cc_host)
     assert np.array_equal(np.asarray(al_dev), al_host)
