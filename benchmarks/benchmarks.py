@@ -20,13 +20,34 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo-root import
 
 
+def _rss_mib() -> float:
+    """Resident set size in MiB (reference harness parity: the reference
+    records memory_profiler RSS per op, benchmarks.py:25-34).  Reads
+    /proc/self/statm — no external dependency."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        import resource  # page size via os.sysconf is equivalent; keep stdlib
+
+        return pages * (resource.getpagesize() / (1024 * 1024))
+    except Exception:
+        return float("nan")
+
+
 def timeit(fn, reps=3):
     ts = []
+    rss0 = _rss_mib()
     for _ in range(reps):
         t0 = time.time()
         fn()
         ts.append(time.time() - t0)
-    return {"mean": statistics.mean(ts), "median": statistics.median(ts), "min": min(ts)}
+    return {
+        "mean": statistics.mean(ts),
+        "median": statistics.median(ts),
+        "min": min(ts),
+        "rss_mib": round(_rss_mib(), 1),
+        "rss_delta_mib": round(_rss_mib() - rss0, 1),
+    }
 
 
 def main():

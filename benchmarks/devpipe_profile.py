@@ -61,6 +61,8 @@ def main():
     g = _geometries(params)
     d = params.degree
     B, G, N = args.signers_batch, args.groups, args.signers
+    if B < G * N:
+        raise SystemExit(f"--signers-batch {B} must be >= groups*signers = {G*N}")
     ch_spec, tri_spec = g["ch_spec"], g["tri_spec"]
     agg_spec = ds.agg_preimage_spec(params, N, tri_spec.out_max)
     print(f"ch_spec.out_max={ch_spec.out_max} tri_spec.out_max={tri_spec.out_max} "

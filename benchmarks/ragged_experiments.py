@@ -11,6 +11,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import jax
 
 cache = Path(__file__).resolve().parents[1] / ".jax_cache"
+cache.mkdir(exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", str(cache))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -399,4 +399,8 @@ def prehash_digits_batch(pre_dst: bytes, messages: Sequence[bytes],
         n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_threads,
     )
+    if (lens < 0).any():  # worker flags allocation failure with len = -1
+        raise MemoryError(
+            f"native prehash failed for {int((lens < 0).sum())} message(s)"
+        )
     return out, lens

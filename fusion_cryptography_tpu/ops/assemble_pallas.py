@@ -149,16 +149,16 @@ def _build(spec, extra_bounds, pad_to: int, output: str, interpret: bool):
         (buf, total i32[B])."""
         args = []
         in_specs = []
+        B = values.shape[1] if has_values else extras[0][0].shape[1]
+        if B % TILE:
+            raise ValueError(f"batch {B} must be a multiple of {TILE}")
         if const_pool is not None:
             args.append(jnp.asarray(const_pool))
             in_specs.append(pl.BlockSpec((P, 1), lambda i: (0, 0), memory_space=pltpu.VMEM))
         if has_values:
             K = values.shape[0]
-            B = values.shape[1]
             args.append(values)
             in_specs.append(pl.BlockSpec((K, TILE), lambda i: (0, i), memory_space=pltpu.VMEM))
-        else:
-            B = extras[0][0].shape[1]
         for eb, el in extras:
             We = eb.shape[0]
             if eb.dtype != jnp.int32:

@@ -995,6 +995,11 @@ static void *prehash_worker(void *arg) {
             size_t mlen = (size_t)(J->msg_off[i + 1] - J->msg_off[i]);
             size_t plen = J->pre_dst_len + 1 + mlen;
             uint8_t *pre = plen <= sizeof head ? head : (uint8_t *)malloc(plen);
+            if (!pre) { /* allocation failure: flag the entry, don't crash */
+                memset(J->out_digits + (size_t)i * 78, 0, 78);
+                J->out_lens[i] = -1;
+                continue;
+            }
             memcpy(pre, J->pre_dst, J->pre_dst_len);
             pre[J->pre_dst_len] = ',';
             memcpy(pre + J->pre_dst_len + 1, J->msg_blob + J->msg_off[i], mlen);

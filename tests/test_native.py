@@ -116,3 +116,28 @@ def test_derive_alphas_grouped_native_vs_python_parity():
         nat.available = orig
     np.testing.assert_array_equal(cc_n, cc_p)
     np.testing.assert_array_equal(al_n, al_p)
+
+
+def test_prehash_digits_native_vs_python_parity():
+    """device_pipeline.prehash_digits switches to the native C path only above
+    64 messages; assert the two branches agree byte-for-byte across the
+    threshold (ADVICE r2: the native branch was never exercised by tests)."""
+    import fusion_cryptography_tpu as ftpu
+    import fusion_cryptography_tpu.native as nat
+    from fusion_cryptography_tpu.scheme import device_pipeline as dp
+
+    if not nat.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    params = ftpu.fusion_setup(128, 42)
+    msgs = ["m" * (1 + (i * 53) % 300) + f":{i}" for i in range(130)]
+    buf_n, len_n = dp.prehash_digits(params, msgs)  # native (>64)
+    orig = nat.available
+    nat.available = lambda: False
+    try:
+        buf_p, len_p = dp.prehash_digits(params, msgs)
+    finally:
+        nat.available = orig
+    np.testing.assert_array_equal(len_n, len_p)
+    np.testing.assert_array_equal(buf_n, buf_p)
