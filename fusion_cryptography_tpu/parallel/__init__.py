@@ -15,4 +15,4 @@ The communication backend is XLA's collective runtime over ICI/DCN — there is
 no NCCL/MPI analogue to port.
 """
 from .mesh import make_mesh
-from .sharded import sharded_lifecycle_step
+from .sharded import prepare_real, sharded_lifecycle_step

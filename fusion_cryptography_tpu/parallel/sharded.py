@@ -130,6 +130,47 @@ def sharded_lifecycle_step(params: Params, mesh: Mesh):
     return step, prepare, rank_p
 
 
+def prepare_real(params: Params, rank_p: int, seeds, messages):
+    """REAL-data inputs for ``sharded_lifecycle_step``: secret coefficients
+    from the reference-exact MT19937 sampler and challenge/aggregation
+    coefficients from the actual hash pipeline (SHA3 prehash -> SHAKE XOF ->
+    decode), sorted by str(vk) like the reference aggregation order
+    (fusion.py:661-663, :511-531, :632-652).
+
+    Unlike ``prepare``'s random +/-1 tensors — for which the lattice equation
+    holds identically — these coefficients tie the sharded path to the
+    KAT-verified host hash pipeline.
+
+    Returns (sk int32[B, 2, rank_p, d], c int32[B, d], alpha int32[B, d],
+    keys KeyBatch, order list[int]) with sk/c/alpha in sorted order.
+    """
+    from ..hashing.sampler import sample_short_poly_coeffs
+    from ..scheme import lifecycle as lc
+
+    seeds = list(seeds)
+    B = len(seeds)
+    d, rank = params.degree, params.rank
+    keys = lc.keygen(params, seeds)
+    reprs = keys.vk_strs()
+    order = sorted(range(B), key=lambda i: reprs[i])
+    s_reprs = [reprs[i] for i in order]
+    s_msgs = [messages[i] for i in order]
+    cc, al = lc.derive_alphas_grouped(params, s_reprs, s_msgs, 1, B)
+    coeffs = np.empty((B, 2, d), dtype=np.int32)
+    for b, s in enumerate(seeds):
+        coeffs[b, 0] = sample_short_poly_coeffs(
+            params.modulus, d, params.beta_sk, params.omega_sk, s
+        )
+        coeffs[b, 1] = sample_short_poly_coeffs(
+            params.modulus, d, params.beta_sk, params.omega_sk, s + 1
+        )
+    coeffs = coeffs[order]
+    # the reference's per-entry reseed makes all rank entries identical
+    sk = np.broadcast_to(coeffs[:, :, None, :], (B, 2, rank, d))
+    sk = _pad_rank(np.ascontiguousarray(sk), 2, rank_p)
+    return jnp.asarray(sk), jnp.asarray(cc[0]), jnp.asarray(al[0]), keys, order
+
+
 def _psum_mod(F, x_u32, axis_name: str):
     """Modular psum: partial residues in [0, q) summed over a mesh axis then
     reduced.  Safe for axis sizes up to 2**15 (limb headroom, see Field.sum_mod);

@@ -60,3 +60,40 @@ def test_sharded_lifecycle_128(params):
     np.testing.assert_array_equal(np.asarray(vk), vk_ref)
     np.testing.assert_array_equal(np.asarray(agg), agg_ref)
     assert bool(eq) and bool(norm_ok) and bool(w_ok)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_sharded_with_hash_derived_coeffs(params, mesh_shape):
+    """The sharded lifecycle fed by the REAL hash pipeline (SHA3 prehash ->
+    SHAKE challenge/alpha decode, sorted by str(vk)) must bitwise match the
+    KAT-anchored host path: vk vs lifecycle.keygen, agg vs lifecycle.aggregate,
+    and the verify verdict must hold (VERDICT r2 item 6: prepare()'s random
+    +/-1 tensors satisfy the lattice equation identically, so only hash-derived
+    coefficients exercise the sharded-hash integration)."""
+    from fusion_cryptography_tpu.parallel import prepare_real
+
+    mesh = make_mesh(mesh_shape)
+    step, _, rank_p = sharded_lifecycle_step(params, mesh)
+    B = 8
+    seeds = [500 + i for i in range(B)]
+    msgs = [f"sharded-hash:{i}" for i in range(B)]
+    sk, cc, al, keys, order = prepare_real(params, rank_p, seeds, msgs)
+    vk, agg, eq, norm_ok, w_ok = step(sk, cc, al)
+
+    # vk parity against the host keygen path (sorted aggregation order)
+    np.testing.assert_array_equal(np.asarray(vk), keys.vk_np()[np.array(order)])
+
+    # aggregate parity against the host aggregate path (sorts internally)
+    sigs = lc.sign(params, keys, msgs)
+    agg_host = lc.aggregate(params, keys.vk_np(), msgs, sigs.sig)
+    got = np.asarray(agg)
+    np.testing.assert_array_equal(got[: params.rank], np.asarray(agg_host))
+    assert not got[params.rank :].any(), "padded rank rows must stay zero"
+
+    # the full verify verdict with hash-derived coefficients
+    assert bool(eq) and bool(norm_ok) and bool(w_ok)
+
+    # and the host verifier accepts the sharded aggregate
+    ok, why = lc.verify(params, keys.vk_np(), msgs, got[: params.rank])
+    assert ok, why
