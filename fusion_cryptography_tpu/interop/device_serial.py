@@ -411,6 +411,72 @@ def assemble_chunks(
     return buf, final.length
 
 
+# ---------------------------------------------------------------------------
+# Word-carrier assembly (production path): uint32-packed strings, batch minor
+# ---------------------------------------------------------------------------
+
+from ..ops import ragged_words as rw  # noqa: E402
+
+
+def assemble_chunks_words(
+    spec: PreimageSpec,
+    values=None,
+    extras: Sequence[Tuple[jnp.ndarray, jnp.ndarray]] = (),
+    extra_bounds: Optional[Sequence[Tuple[int, int]]] = None,
+):
+    """Packed-word twin of :func:`assemble_chunks_lm` (4x the VPU density).
+
+    values int32[num_numbers, B]; extras (uint32[ceil(width/4), B], int32[B])
+    pairs in ops/ragged_words layout with zeroed scratch.  Returns
+    (buf uint32[ceil(out_max/4), B], total int32[B]) — ``buf`` feeds
+    ops/keccak.shake256_absorb_words directly (same packing).
+    """
+    if len(extras) != spec.num_extras:
+        raise ValueError(f"spec needs {spec.num_extras} extras, got {len(extras)}")
+    nodes = _compile_spec(spec)
+    if values is not None:
+        if values.shape[0] != spec.num_numbers:
+            raise ValueError(f"spec needs int32[{spec.num_numbers}, B] values")
+        B = values.shape[-1]
+    else:
+        B = extras[0][0].shape[-1]
+    out = []
+    for node in nodes:
+        if node[0] == "const":
+            cb = rw.pack_const_words(node[1])
+            out.append(
+                rw.WChunk(
+                    buf=jnp.broadcast_to(jnp.asarray(cb)[:, None], (len(cb), B)),
+                    length=jnp.full((B,), len(node[1]), jnp.int32),
+                    max_len=len(node[1]),
+                    min_len=len(node[1]),
+                )
+            )
+        elif node[0] == "cells":
+            _, sep, i0, count = node
+            cells = rw.render_decimal_cells_w(values[i0 : i0 + count], sep)
+            out.append(
+                rw.merge_cells_w(cells)
+                if count > 1
+                else rw.WChunk(cells.buf[0], cells.length[0], cells.max_len, cells.min_len)
+            )
+        else:
+            e = node[1]
+            eb, el = extras[e]
+            w = spec.extra_widths[e]
+            if eb.shape[0] != rw.words_for(w):
+                raise ValueError(
+                    f"extra word width {eb.shape[0]} != ceil(spec width {w} / 4)"
+                )
+            lo, hi = (0, w) if extra_bounds is None else extra_bounds[e]
+            out.append(rw.WChunk(buf=eb, length=el.astype(jnp.int32), max_len=hi, min_len=lo))
+    final = rw.fold_chunks_w(out)
+    Ww = rw.words_for(spec.out_max)
+    pad = Ww - final.buf.shape[0]
+    buf = jnp.pad(final.buf, ((0, pad), (0, 0))) if pad > 0 else final.buf[:Ww]
+    return buf, final.length
+
+
 def spec_min_total(spec: PreimageSpec, extra_min_lens: Sequence[int]) -> int:
     """Static lower bound on a spec's assembled length: every const byte, at
     least one digit per number, plus the given per-extra minimums."""

@@ -264,6 +264,65 @@ def shake256_absorb(buf, lens):
     return _from_lanes(shake256_absorb_lanes(buf, lens))
 
 
+def _payload_words_to_blocks(words, lens):
+    """Packed-word payloads -> masked+padded rate blocks, zero repacking.
+
+    words: uint32[max_blocks*RATE_WORDS, B] little-endian packed payload
+    (ops/ragged_words layout — byte j at bits 8*(j%4) of word j//4), scratch
+    bytes beyond ``lens`` may be nonzero; lens: int[B] in BYTES.
+    Returns ([max_blocks, RATE_LANES, 2, B] uint32 blocks, int32[B] counts).
+    """
+    total_w, B = words.shape
+    if total_w % RATE_WORDS:
+        raise ValueError(
+            f"payload word count {total_w} must be a multiple of {RATE_WORDS}"
+        )
+    max_blocks = total_w // RATE_WORDS
+    lens = lens.astype(jnp.int32)
+    wi = jax.lax.broadcasted_iota(jnp.int32, (total_w, B), 0)
+    keep = jnp.clip(lens[None, :] - 4 * wi, 0, 4)
+    mask = jnp.where(
+        keep >= 4,
+        np.uint32(0xFFFFFFFF),
+        (np.uint32(1) << (np.uint32(8) * keep.astype(_U32))) - np.uint32(1),
+    )
+    data = words & mask
+    # multi-rate padding: 0x1F at byte ``lens``, 0x80 at the last block byte
+    # (they OR into 0x9F when they coincide)
+    n_blocks = lens // RATE + 1
+    head_val = np.uint32(0x1F) << (np.uint32(8) * (lens & 3).astype(_U32))[None, :]
+    data = data | jnp.where(wi == (lens >> 2)[None, :], head_val, np.uint32(0))
+    last_word = n_blocks * RATE_WORDS - 1  # 0x80 is always byte 3 of that word
+    data = data | jnp.where(
+        wi == last_word[None, :], np.uint32(0x80000000), np.uint32(0)
+    )
+    return data.reshape(max_blocks, RATE_LANES, 2, B), n_blocks
+
+
+def shake256_absorb_words(words, lens) -> Lanes:
+    """Absorb packed-word payloads (uint32[max_blocks*34, B], lens in bytes);
+    returns post-absorb lane-tuple states.  Bit-exact twin of the byte-buffer
+    absorbs for the same logical payload."""
+    blocks, n_blocks = _payload_words_to_blocks(jnp.asarray(words, _U32), jnp.asarray(lens))
+    return _absorb_blocks(blocks, n_blocks, words.shape[-1])
+
+
+def shake256_squeeze_words(state: Lanes, n_words: int):
+    """Squeeze ``4*n_words`` bytes as packed words uint32[n_words, B]
+    (little-endian — ops/ragged_words layout), with no byte unpacking."""
+    n_blocks = -(-n_words // RATE_WORDS)
+
+    def step(st, _):
+        rate = jnp.stack(
+            [jnp.stack(st[l]) for l in range(RATE_LANES)]
+        )  # [17, 2, B]
+        return keccak_f_lanes(st), rate
+
+    _, outs = jax.lax.scan(step, state, None, length=n_blocks)  # [nb, 17, 2, B]
+    B = outs.shape[-1]
+    return outs.reshape(n_blocks * RATE_WORDS, B)[:n_words]
+
+
 def shake256_squeeze_lanes(state: Lanes, n_out: int):
     """Squeeze ``n_out`` bytes from each sponge in lane-tuple form ->
     uint8[B, n_out]."""

@@ -40,11 +40,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..interop import device_serial as ds
+from ..ops import ragged_words as rw
 from ..ops import xof_decode
 from ..ops.keccak import (
     RATE,
     shake256_absorb_lanes,
     shake256_absorb_lanes_lm,
+    shake256_absorb_words,
     shake256_squeeze_lanes,
     shake256_squeeze_lanes_lm,
 )
@@ -141,14 +143,23 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool):
     the on-device benchmark setup (scheme/device_setup.py).
 
     signer_stage(vk2d_t i32[2d, B], pre_buf_t u8[78, B], pre_len i32[B]) ->
-        (cc i32[B, d], c_hat_u u32[B, d], tbuf u8/i16[Lt, B], tlen i32[B])
+        (cc i32[B, d], c_hat_u u32[B, d], tbuf, tlen i32[B])
     group_stage(tbuf [Lt, G, N], tlen i32[G, N]) -> alphas i32[G, N, d]
 
-    Two implementations per stage: fused Pallas kernels (assembly in VMEM,
-    word-packed preimages straight into the resident-state sponge) when the
-    batch tiles into [8, 128] vregs, else the pure-XLA lane-major path (CPU
-    tests, ragged tails).  Both are byte-exact twins.
+    Three implementations per stage, byte-exact twins of each other:
+
+    * the DEFAULT packed-word XLA path (ops/ragged_words +
+      keccak.shake256_absorb_words): preimages are carried as uint32 words —
+      4 bytes per VPU lane — end to end, so assembly barrel shifts cost ~4x
+      fewer ops than the byte path and the absorb needs zero repacking
+      (``tbuf`` between the stages is uint32[ceil(Lt/4), B]);
+    * fused Pallas kernels when requested and the batch tiles into [8, 128]
+      vregs (``tbuf`` is int16[Lt, B]);
+    * the byte-carrier lane-major path (``FUSION_BYTE_PIPELINE=1``), kept as
+      the A/B reference oracle (``tbuf`` is uint8[Lt, B]).
     """
+    import os
+
     plan = params.plan
     F = plan.field
     g = _geometries(params)
@@ -158,9 +169,17 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool):
     agg_spec = ds.agg_preimage_spec(params, N, tri_spec.out_max)
     pre_bounds = [(1, ds.PREHASH_W)]
     tri_bounds = [(g["tri_min"], tri_spec.out_max)] * N
+    use_words = not use_pallas and not os.environ.get("FUSION_BYTE_PIPELINE")
+
+    def _pad_rate_words(n_bytes: int) -> int:
+        return _pad_rate(n_bytes) // 4
 
     def _hash_stage(spec, values, extras, bounds, n_out: int, B: int):
-        """preimage assembly + SHAKE -> uint8[n_out, B] XOF stream."""
+        """preimage assembly + SHAKE -> uint8[n_out, B] XOF stream.
+
+        ``extras`` are (words, len) pairs on the word path, (bytes, len)
+        otherwise.
+        """
         if use_pallas and B % 1024 == 0:
             from ..ops.assemble_pallas import assemble_pallas
             from ..ops.keccak_pallas import shake256_words_pallas
@@ -170,6 +189,15 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool):
                 pad_to=_pad_rate(spec.out_max), output="words",
             )
             return shake256_words_pallas(words, total, n_out)
+        if use_words:
+            wbuf, total = ds.assemble_chunks_words(
+                spec, values=values, extras=extras, extra_bounds=bounds
+            )
+            pad = _pad_rate_words(spec.out_max) - wbuf.shape[0]
+            if pad > 0:
+                wbuf = jnp.pad(wbuf, ((0, pad), (0, 0)))
+            state = shake256_absorb_words(wbuf, total)
+            return shake256_squeeze_lanes_lm(state, n_out)
         extras = [(eb.astype(jnp.uint8), el) for eb, el in extras]
         buf, total = ds.assemble_chunks_lm(
             spec, values=values, extras=extras, extra_bounds=bounds
@@ -181,8 +209,13 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool):
 
     def signer_stage(vk2d_t, pre_buf_t, pre_len):
         B = vk2d_t.shape[1]
+        pre = (
+            (rw.pack_bytes_to_words(pre_buf_t.astype(jnp.uint8)), pre_len)
+            if use_words
+            else (pre_buf_t, pre_len)
+        )
         xof = _hash_stage(
-            ch_spec, vk2d_t, [(pre_buf_t, pre_len)], pre_bounds, g["n_xof_ch_used"], B
+            ch_spec, vk2d_t, [pre], pre_bounds, g["n_xof_ch_used"], B
         )
         cc_t = xof_decode.decode_coeffs_lm(xof, g["geom_ch"])  # [d, B] int32
         cc = cc_t.T
@@ -195,6 +228,10 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool):
             tbuf, tlen = assemble_pallas(
                 tri_spec, values=tvals_t, extras=[(pre_buf_t, pre_len)],
                 extra_bounds=pre_bounds, output="bytes16",
+            )
+        elif use_words:
+            tbuf, tlen = ds.assemble_chunks_words(
+                tri_spec, values=tvals_t, extras=[pre], extra_bounds=pre_bounds
             )
         else:
             tbuf, tlen = ds.assemble_chunks_lm(
