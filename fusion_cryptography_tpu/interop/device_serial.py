@@ -477,6 +477,110 @@ def assemble_chunks_words(
     return buf, final.length
 
 
+def _spec_word_nodes(spec: PreimageSpec, values, extras, extra_bounds, B: int):
+    """Evaluate a spec's slot nodes to a list of WChunks (no final fold)."""
+    nodes = _compile_spec(spec)
+    out = []
+    for node in nodes:
+        if node[0] == "const":
+            cb = rw.pack_const_words(node[1])
+            out.append(
+                rw.WChunk(
+                    buf=jnp.broadcast_to(jnp.asarray(cb)[:, None], (len(cb), B)),
+                    length=jnp.full((B,), len(node[1]), jnp.int32),
+                    max_len=len(node[1]),
+                    min_len=len(node[1]),
+                )
+            )
+        elif node[0] == "cells":
+            _, sep, i0, count = node
+            cells = rw.render_decimal_cells_w(values[i0 : i0 + count], sep)
+            out.append(
+                rw.merge_cells_w(cells)
+                if count > 1
+                else rw.WChunk(cells.buf[0], cells.length[0], cells.max_len, cells.min_len)
+            )
+        else:
+            e = node[1]
+            eb, el = extras[e]
+            w = spec.extra_widths[e]
+            if eb.shape[0] != rw.words_for(w):
+                raise ValueError(
+                    f"extra word width {eb.shape[0]} != ceil(spec width {w} / 4)"
+                )
+            lo, hi = (0, w) if extra_bounds is None else extra_bounds[e]
+            out.append(rw.WChunk(buf=eb, length=el.astype(jnp.int32), max_len=hi, min_len=lo))
+    return out
+
+
+def vk_body_spec(params) -> PreimageSpec:
+    """str(vk) alone (fusion.py:328-329) — the shared subtree of the challenge
+    preimage and the triple."""
+    b = TemplateBuilder()
+    _vk_body(b, params)
+    return b.build()
+
+
+def challenge_body_spec(params) -> PreimageSpec:
+    """str(challenge) alone (fusion.py:382-383) — the triple's third field."""
+    b = TemplateBuilder()
+    _challenge_body(b, params)
+    return b.build()
+
+
+def _const_chunk_w(data: bytes, B: int) -> rw.WChunk:
+    cb = rw.pack_const_words(data)
+    return rw.WChunk(
+        buf=jnp.broadcast_to(jnp.asarray(cb)[:, None], (len(cb), B)),
+        length=jnp.full((B,), len(data), jnp.int32),
+        max_len=len(data),
+        min_len=len(data),
+    )
+
+
+def _finish_chunk_w(chunk: rw.WChunk, out_max: int):
+    Ww = rw.words_for(out_max)
+    pad = Ww - chunk.buf.shape[0]
+    buf = jnp.pad(chunk.buf, ((0, pad), (0, 0))) if pad > 0 else chunk.buf[:Ww]
+    return buf, chunk.length
+
+
+def vk_chunk_w(params, vk2d_t) -> rw.WChunk:
+    """The ``str(vk)`` body as one word chunk — the multi-KB subtree SHARED by
+    the challenge preimage (fusion.py:412-419) and the triple (fusion.py:586-589).
+    Assembling it once per signer (instead of once per consuming spec) removes
+    the dominant duplicate cell-merge cost of the signer stage; WChunk merging
+    is associative, so the downstream folds are byte-identical to the
+    flat-spec evaluation (tests/test_ragged_words.py)."""
+    B = vk2d_t.shape[-1]
+    return rw.fold_chunks_w(
+        _spec_word_nodes(vk_body_spec(params), vk2d_t, (), None, B)
+    )
+
+
+def fold_challenge_preimage_w(params, vk_chunk: rw.WChunk, pre_chunk: rw.WChunk):
+    """dst + "," + str(vk) + "," + str(i) from pre-built chunks -> (buf, total)."""
+    B = vk_chunk.buf.shape[-1]
+    ch_pre = rw.fold_chunks_w(
+        [_const_chunk_w(bytes(params.sign_hash_dst) + b",", B), vk_chunk,
+         _const_chunk_w(b",", B), pre_chunk]
+    )
+    return _finish_chunk_w(ch_pre, challenge_preimage_spec(params).out_max)
+
+
+def fold_triple_w(params, vk_chunk: rw.WChunk, pre_chunk: rw.WChunk, c_hat_t):
+    """str((vk, i, challenge)) from the shared vk chunk -> (buf, total)."""
+    B = vk_chunk.buf.shape[-1]
+    ch_chunk = rw.fold_chunks_w(
+        _spec_word_nodes(challenge_body_spec(params), c_hat_t, (), None, B)
+    )
+    tri = rw.fold_chunks_w(
+        [_const_chunk_w(b"(", B), vk_chunk, _const_chunk_w(b", ", B), pre_chunk,
+         _const_chunk_w(b", ", B), ch_chunk, _const_chunk_w(b")", B)]
+    )
+    return _finish_chunk_w(tri, triple_spec(params).out_max)
+
+
 def spec_min_total(spec: PreimageSpec, extra_min_lens: Sequence[int]) -> int:
     """Static lower bound on a spec's assembled length: every const byte, at
     least one digit per number, plus the given per-extra minimums."""

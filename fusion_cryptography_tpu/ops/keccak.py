@@ -101,8 +101,11 @@ def _rotl_static(lo, hi, r: int):
     return (lo << rs) | (hi >> rc), (hi << rs) | (lo >> rc)
 
 
-def _keccak_round(lanes: Lanes, rc_lo, rc_hi, i) -> Lanes:
-    """One Keccak round, fully unrolled over lanes (elementwise VPU ops only)."""
+def _keccak_round(lanes: Lanes, rc_lo, rc_hi, i, rc=None) -> Lanes:
+    """One Keccak round, fully unrolled over lanes (elementwise VPU ops only).
+
+    ``rc=(lo, hi)`` supplies immediate round constants (unrolled path);
+    otherwise they are gathered from the (rc_lo, rc_hi) tables at index i."""
     # theta
     C = []
     for x in range(5):
@@ -126,16 +129,56 @@ def _keccak_round(lanes: Lanes, rc_lo, rc_hi, i) -> Lanes:
             b0, b1, b2 = B[x + 5 * y], B[(x + 1) % 5 + 5 * y], B[(x + 2) % 5 + 5 * y]
             out.append((b0[0] ^ (~b1[0] & b2[0]), b0[1] ^ (~b1[1] & b2[1])))
     # iota
-    out[0] = (out[0][0] ^ jnp.take(rc_lo, i), out[0][1] ^ jnp.take(rc_hi, i))
+    if rc is not None:
+        out[0] = (out[0][0] ^ rc[0], out[0][1] ^ rc[1])
+    else:
+        out[0] = (out[0][0] ^ jnp.take(rc_lo, i), out[0][1] ^ jnp.take(rc_hi, i))
     return tuple(out)
+
+
+def _round_unroll() -> int:
+    """Trace-time round-unroll factor (divides 24).
+
+    On the accelerator the rounds are fully unrolled: as a ``fori_loop`` each
+    round body is its own tiny kernel whose per-iteration latency roughly
+    doubles the permutation cost at production batch sizes.  On CPU (the test
+    suite) full unroll makes XLA's compile of every absorb/squeeze scan body
+    take minutes, so a partial unroll keeps programs small; the arithmetic is
+    identical either way.  Override with ``FUSION_KECCAK_UNROLL``.
+    """
+    import os
+
+    v = os.environ.get("FUSION_KECCAK_UNROLL")
+    if v:
+        u = int(v)
+    else:
+        try:
+            u = 24 if jax.default_backend() != "cpu" else 4
+        except Exception:  # pragma: no cover - backendless tracing
+            u = 4
+    if 24 % u:
+        raise ValueError(f"FUSION_KECCAK_UNROLL must divide 24, got {u}")
+    return u
 
 
 def keccak_f_lanes(lanes: Lanes) -> Lanes:
     """Keccak-f[1600] in lane-tuple form (the hot-path entry point)."""
+    U = _round_unroll()
+    if U >= 24:
+        for i in range(24):
+            lanes = _keccak_round(
+                lanes, None, None, None,
+                rc=(np.uint32(_RC[i, 0]), np.uint32(_RC[i, 1])),
+            )
+        return lanes
     rc_lo, rc_hi = jnp.asarray(_RC[:, 0]), jnp.asarray(_RC[:, 1])
-    return jax.lax.fori_loop(
-        0, 24, lambda i, ls: _keccak_round(ls, rc_lo, rc_hi, i), lanes
-    )
+
+    def block(i, ls):
+        for k in range(U):
+            ls = _keccak_round(ls, rc_lo, rc_hi, i * U + k)
+        return ls
+
+    return jax.lax.fori_loop(0, 24 // U, block, lanes)
 
 
 def _to_lanes(state) -> Lanes:

@@ -200,11 +200,11 @@ def _horner_mod_lm(blocks, mods):
     return r
 
 
-def decode_coeffs_lm(xof_bytes, geom: DecodeGeometry, unroll: int = 16):
+def decode_coeffs_lm(xof_bytes, geom: DecodeGeometry):
     """Lane-major :func:`decode_coeffs`: uint8[n, B] streams -> int32[d, B].
 
-    Identical arithmetic, batch-minor layout; the swap scan is unrolled in
-    blocks of ``unroll`` steps to amortize per-step loop overhead.
+    Identical arithmetic, batch-minor layout; the swap chain is fully
+    unrolled at trace time (static step count).
     """
     d, w = geom.degree, geom.weight_bound
     n, B = xof_bytes.shape
@@ -252,16 +252,16 @@ def decode_coeffs_lm(xof_bytes, geom: DecodeGeometry, unroll: int = 16):
 
     p0 = jnp.broadcast_to(jnp.arange(w, dtype=_I32)[:, None], (w, B))
 
-    def swap(p, xs):
-        i_t, j_t = xs  # scalar int32, [B]
-        j = j_t[None, :]  # [1, B]
-        at_i = (p == i_t).astype(_I32)
-        at_j = (p == j).astype(_I32)
-        return p + at_i * (j - i_t) + at_j * (i_t - j), None
-
-    pos, _ = jax.lax.scan(
-        swap, p0, (jnp.asarray(i_vals, _I32), j_all), unroll=unroll
-    )
+    # The swap chain is fully unrolled at trace time: S is static (195 in
+    # production) and each step is ~6 elementwise ops on [w, B] — as a scan
+    # the per-iteration loop latency dominates the arithmetic by >10x.
+    pos = p0
+    for t in range(S):
+        i_t = np.int32(i_vals[t])
+        j = j_all[t][None, :]  # [1, B]
+        at_i = (pos == i_t).astype(_I32)
+        at_j = (pos == j).astype(_I32)
+        pos = pos + at_i * (j - i_t) + at_j * (i_t - j)
     iota_d = jax.lax.broadcasted_iota(_I32, (1, d, 1), 1)
     hits = (pos[:, None, :] == iota_d).astype(_I32)  # [w, d, B]
     return jnp.sum(vals[:, None, :] * hits, axis=0)  # [d, B]

@@ -207,15 +207,35 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool):
             buf = jnp.pad(buf, ((0, pad), (0, 0)))
         return _shake_lm(buf, total, n_out)
 
+    def _signer_stage_words(vk2d_t, pre_buf_t, pre_len):
+        """Word path with the str(vk) subtree assembled ONCE and folded into
+        both the challenge preimage and the triple."""
+        pre_w = rw.pack_bytes_to_words(pre_buf_t.astype(jnp.uint8))
+        lo, hi = pre_bounds[0]
+        pre_chunk = rw.WChunk(
+            buf=pre_w, length=pre_len.astype(jnp.int32), max_len=hi, min_len=lo
+        )
+        vk_chunk = ds.vk_chunk_w(params, vk2d_t)
+        wbuf, total = ds.fold_challenge_preimage_w(params, vk_chunk, pre_chunk)
+        padw = _pad_rate(ch_spec.out_max) // 4 - wbuf.shape[0]
+        if padw > 0:
+            wbuf = jnp.pad(wbuf, ((0, padw), (0, 0)))
+        xof = shake256_squeeze_lanes_lm(
+            shake256_absorb_words(wbuf, total), g["n_xof_ch_used"]
+        )
+        cc_t = xof_decode.decode_coeffs_lm(xof, g["geom_ch"])  # [d, B]
+        cc = cc_t.T
+        c_hat_u = ntt_fwd_u(plan, F.to_unsigned(cc))  # [B, d]
+        c_hat_t = F.to_centered(c_hat_u).T  # [d, B]
+        tbuf, tlen = ds.fold_triple_w(params, vk_chunk, pre_chunk, c_hat_t)
+        return cc, c_hat_u, tbuf, tlen
+
     def signer_stage(vk2d_t, pre_buf_t, pre_len):
         B = vk2d_t.shape[1]
-        pre = (
-            (rw.pack_bytes_to_words(pre_buf_t.astype(jnp.uint8)), pre_len)
-            if use_words
-            else (pre_buf_t, pre_len)
-        )
+        if use_words:
+            return _signer_stage_words(vk2d_t, pre_buf_t, pre_len)
         xof = _hash_stage(
-            ch_spec, vk2d_t, [pre], pre_bounds, g["n_xof_ch_used"], B
+            ch_spec, vk2d_t, [(pre_buf_t, pre_len)], pre_bounds, g["n_xof_ch_used"], B
         )
         cc_t = xof_decode.decode_coeffs_lm(xof, g["geom_ch"])  # [d, B] int32
         cc = cc_t.T
@@ -228,10 +248,6 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool):
             tbuf, tlen = assemble_pallas(
                 tri_spec, values=tvals_t, extras=[(pre_buf_t, pre_len)],
                 extra_bounds=pre_bounds, output="bytes16",
-            )
-        elif use_words:
-            tbuf, tlen = ds.assemble_chunks_words(
-                tri_spec, values=tvals_t, extras=[pre], extra_bounds=pre_bounds
             )
         else:
             tbuf, tlen = ds.assemble_chunks_lm(
@@ -400,7 +416,7 @@ def verify_batch_device(
     messages: Sequence[str],
     aggs,
     *,
-    group_chunk: int = 8192,
+    group_chunk: int = 2048,
 ):
     """Grouped verify with the full hash pipeline on device.
 
@@ -419,7 +435,7 @@ def verify_batch_device(
 
 
 def derive_coeffs_device(
-    params: Params, vks, messages: Sequence[str], aggs, *, group_chunk: int = 8192
+    params: Params, vks, messages: Sequence[str], aggs, *, group_chunk: int = 2048
 ):
     """Debug/test entry: returns (eq, norm_ok, weight_ok, challenge coeffs
     int32[G, N, d], alpha coeffs int32[G, N, d])."""

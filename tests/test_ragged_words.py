@@ -151,6 +151,46 @@ def test_assemble_words_matches_bytes_triple_and_agg():
     )
 
 
+def test_shared_vk_subtree_fold_matches_specs():
+    """fold_challenge_preimage_w / fold_triple_w (one shared str(vk) chunk)
+    must be byte-identical to the flat-spec word evaluation."""
+    params = ftpu.fusion_setup(256, 3)
+    rng = np.random.default_rng(11)
+    B, d = 4, params.degree
+    q = params.modulus
+    vk2d = rng.integers(-(q // 2), q // 2 + 1, size=(2 * d, B)).astype(np.int32)
+    c_hat = rng.integers(-(q // 2), q // 2 + 1, size=(d, B)).astype(np.int32)
+    pre = np.zeros((ds.PREHASH_W, B), dtype=np.uint8)
+    pre_len = np.zeros(B, dtype=np.int32)
+    for k in range(B):
+        s = str(int.from_bytes(rng.integers(0, 256, 32, dtype=np.uint8).tobytes(), "little")).encode()
+        pre[: len(s), k] = np.frombuffer(s, dtype=np.uint8)
+        pre_len[k] = len(s)
+    bounds = [(1, ds.PREHASH_W)]
+    pre_w = rw.pack_bytes_to_words(jnp.asarray(pre))
+
+    ch_spec = ds.challenge_preimage_spec(params)
+    tri_spec = ds.triple_spec(params)
+    want_ch, want_cht = ds.assemble_chunks_words(
+        ch_spec, values=jnp.asarray(vk2d), extras=[(pre_w, jnp.asarray(pre_len))],
+        extra_bounds=bounds,
+    )
+    tvals = np.concatenate([vk2d, c_hat], axis=0)
+    want_tri, want_trit = ds.assemble_chunks_words(
+        tri_spec, values=jnp.asarray(tvals), extras=[(pre_w, jnp.asarray(pre_len))],
+        extra_bounds=bounds,
+    )
+
+    vk_chunk = ds.vk_chunk_w(params, jnp.asarray(vk2d))
+    pre_chunk = rw.WChunk(buf=pre_w, length=jnp.asarray(pre_len), max_len=ds.PREHASH_W, min_len=1)
+    got_ch, got_cht = ds.fold_challenge_preimage_w(params, vk_chunk, pre_chunk)
+    got_tri, got_trit = ds.fold_triple_w(params, vk_chunk, pre_chunk, jnp.asarray(c_hat))
+    np.testing.assert_array_equal(np.asarray(got_cht), np.asarray(want_cht))
+    np.testing.assert_array_equal(np.asarray(got_ch), np.asarray(want_ch))
+    np.testing.assert_array_equal(np.asarray(got_trit), np.asarray(want_trit))
+    np.testing.assert_array_equal(np.asarray(got_tri), np.asarray(want_tri))
+
+
 @pytest.mark.parametrize(
     "lens",
     [
