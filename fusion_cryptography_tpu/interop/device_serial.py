@@ -423,6 +423,7 @@ def assemble_chunks_words(
     values=None,
     extras: Sequence[Tuple[jnp.ndarray, jnp.ndarray]] = (),
     extra_bounds: Optional[Sequence[Tuple[int, int]]] = None,
+    pad_words: Optional[int] = None,
 ):
     """Packed-word twin of :func:`assemble_chunks_lm` (4x the VPU density).
 
@@ -471,10 +472,7 @@ def assemble_chunks_words(
             lo, hi = (0, w) if extra_bounds is None else extra_bounds[e]
             out.append(rw.WChunk(buf=eb, length=el.astype(jnp.int32), max_len=hi, min_len=lo))
     final = rw.fold_chunks_w(out)
-    Ww = rw.words_for(spec.out_max)
-    pad = Ww - final.buf.shape[0]
-    buf = jnp.pad(final.buf, ((0, pad), (0, 0))) if pad > 0 else final.buf[:Ww]
-    return buf, final.length
+    return _finish_chunk_w(final, spec.out_max, pad_words)
 
 
 def _spec_word_nodes(spec: PreimageSpec, values, extras, extra_bounds, B: int):
@@ -538,8 +536,11 @@ def _const_chunk_w(data: bytes, B: int) -> rw.WChunk:
     )
 
 
-def _finish_chunk_w(chunk: rw.WChunk, out_max: int):
-    Ww = rw.words_for(out_max)
+def _finish_chunk_w(chunk: rw.WChunk, out_max: int, pad_words: Optional[int] = None):
+    """Pad/trim a folded chunk to ``words_for(out_max)`` words — or directly
+    to ``pad_words`` (e.g. the SHAKE rate multiple) to avoid a second
+    whole-buffer pad copy in the consumer."""
+    Ww = rw.words_for(out_max) if pad_words is None else pad_words
     pad = Ww - chunk.buf.shape[0]
     buf = jnp.pad(chunk.buf, ((0, pad), (0, 0))) if pad > 0 else chunk.buf[:Ww]
     return buf, chunk.length
@@ -558,14 +559,15 @@ def vk_chunk_w(params, vk2d_t) -> rw.WChunk:
     )
 
 
-def fold_challenge_preimage_w(params, vk_chunk: rw.WChunk, pre_chunk: rw.WChunk):
+def fold_challenge_preimage_w(params, vk_chunk: rw.WChunk, pre_chunk: rw.WChunk,
+                              pad_words: Optional[int] = None):
     """dst + "," + str(vk) + "," + str(i) from pre-built chunks -> (buf, total)."""
     B = vk_chunk.buf.shape[-1]
     ch_pre = rw.fold_chunks_w(
         [_const_chunk_w(bytes(params.sign_hash_dst) + b",", B), vk_chunk,
          _const_chunk_w(b",", B), pre_chunk]
     )
-    return _finish_chunk_w(ch_pre, challenge_preimage_spec(params).out_max)
+    return _finish_chunk_w(ch_pre, challenge_preimage_spec(params).out_max, pad_words)
 
 
 def fold_triple_w(params, vk_chunk: rw.WChunk, pre_chunk: rw.WChunk, c_hat_t):

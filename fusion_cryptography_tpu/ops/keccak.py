@@ -153,9 +153,9 @@ def _round_unroll() -> int:
         u = int(v)
     else:
         try:
-            u = 24 if jax.default_backend() != "cpu" else 4
+            u = 24 if jax.default_backend() != "cpu" else 1
         except Exception:  # pragma: no cover - backendless tracing
-            u = 4
+            u = 1
     if 24 % u:
         raise ValueError(f"FUSION_KECCAK_UNROLL must divide 24, got {u}")
     return u
@@ -307,12 +307,13 @@ def shake256_absorb(buf, lens):
     return _from_lanes(shake256_absorb_lanes(buf, lens))
 
 
-def _payload_words_to_blocks(words, lens):
+def _payload_words_to_blocks(words, lens, pad_head: int = 0x1F):
     """Packed-word payloads -> masked+padded rate blocks, zero repacking.
 
     words: uint32[max_blocks*RATE_WORDS, B] little-endian packed payload
     (ops/ragged_words layout — byte j at bits 8*(j%4) of word j//4), scratch
     bytes beyond ``lens`` may be nonzero; lens: int[B] in BYTES.
+    ``pad_head`` is the multi-rate domain byte: 0x1F for SHAKE, 0x06 for SHA3.
     Returns ([max_blocks, RATE_LANES, 2, B] uint32 blocks, int32[B] counts).
     """
     total_w, B = words.shape
@@ -330,10 +331,10 @@ def _payload_words_to_blocks(words, lens):
         (np.uint32(1) << (np.uint32(8) * keep.astype(_U32))) - np.uint32(1),
     )
     data = words & mask
-    # multi-rate padding: 0x1F at byte ``lens``, 0x80 at the last block byte
-    # (they OR into 0x9F when they coincide)
+    # multi-rate padding: the domain byte at byte ``lens``, 0x80 at the last
+    # block byte (they OR together when they coincide)
     n_blocks = lens // RATE + 1
-    head_val = np.uint32(0x1F) << (np.uint32(8) * (lens & 3).astype(_U32))[None, :]
+    head_val = np.uint32(pad_head) << (np.uint32(8) * (lens & 3).astype(_U32))[None, :]
     data = data | jnp.where(wi == (lens >> 2)[None, :], head_val, np.uint32(0))
     last_word = n_blocks * RATE_WORDS - 1  # 0x80 is always byte 3 of that word
     data = data | jnp.where(
@@ -348,6 +349,21 @@ def shake256_absorb_words(words, lens) -> Lanes:
     absorbs for the same logical payload."""
     blocks, n_blocks = _payload_words_to_blocks(jnp.asarray(words, _U32), jnp.asarray(lens))
     return _absorb_blocks(blocks, n_blocks, words.shape[-1])
+
+
+def sha3_256_words(words, lens):
+    """Batched SHA3-256 over packed-word payloads -> digest uint32[8, B]
+    (little-endian packed digest bytes, ops/ragged_words layout).
+
+    Same sponge as SHAKE with domain byte 0x06 (FIPS 202); the 32-byte digest
+    is the first 8 rate words post-absorb — no squeeze permutation needed.
+    Bit-exact twin of ``hashlib.sha3_256(payload).digest()`` per lane.
+    """
+    blocks, n_blocks = _payload_words_to_blocks(
+        jnp.asarray(words, _U32), jnp.asarray(lens), pad_head=0x06
+    )
+    state = _absorb_blocks(blocks, n_blocks, words.shape[-1])
+    return jnp.stack([state[l][h] for l in range(4) for h in range(2)])
 
 
 def shake256_squeeze_words(state: Lanes, n_words: int):

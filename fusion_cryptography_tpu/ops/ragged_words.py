@@ -155,21 +155,36 @@ def shift_left_w(buf, s, max_s: int):
     nxt = jnp.pad(buf[..., 1:, :], spec)
     hi = jnp.where(sa > 0, nxt << (np.uint32(32) - sa), np.uint32(0))
     buf = jnp.where(sa > 0, (buf >> sa) | hi, buf)
-    # word-level barrel over wq = s // 4
+    # word-level barrel over wq = s // 4, radix 4: each pass selects among
+    # {0, k, 2k, 3k}-word shifts with lax.select_n, halving the number of
+    # materialized intermediates vs a radix-2 pad+where chain (the assembly
+    # is HBM-traffic-bound, so writes are what count).
     wq = s >> 2
     max_wq = max_s >> 2
     Ww = buf.shape[-2]
-    bit = 1
-    while bit <= max_wq:
-        if bit < Ww:
-            spec = [(0, 0)] * buf.ndim
-            spec[-2] = (0, bit)
-            shifted = jnp.pad(buf[..., bit:, :], spec)
-        else:
-            shifted = jnp.zeros_like(buf)
-        take = ((wq & bit) != 0)[..., None, :]
-        buf = jnp.where(take, shifted, buf)
-        bit <<= 1
+
+    def word_shift(b, k):
+        if k <= 0:
+            return b
+        if k >= Ww:
+            return jnp.zeros_like(b)
+        spec = [(0, 0)] * b.ndim
+        spec[-2] = (0, k)
+        return jnp.pad(b[..., k:, :], spec)
+
+    step = 1
+    while step <= max_wq:
+        if 2 * step > max_wq:  # single radix-2 tail pass
+            take = ((wq & step) != 0)[..., None, :]
+            buf = jnp.where(take, word_shift(buf, step), buf)
+            break
+        sel = ((wq // step) & 3)[..., None, :]
+        sel = jnp.broadcast_to(sel, buf.shape)
+        buf = jax.lax.select_n(
+            sel, buf, word_shift(buf, step), word_shift(buf, 2 * step),
+            word_shift(buf, 3 * step),
+        )
+        step <<= 2
     return buf
 
 
@@ -247,6 +262,80 @@ def fold_chunks_w(nodes) -> WChunk:
             nxt.append(nodes[-1])
         nodes = nxt
     return nodes[0]
+
+
+PREHASH_DIGITS = 78  # str(int.from_bytes(sha3_256 digest, 'little')) <= 78 digits
+
+
+def render_bigint_dec_w(digest_words) -> WChunk:
+    """256-bit little-endian integers -> left-aligned decimal strings.
+
+    digest_words: uint32[8, B] (little-endian limbs — exactly
+    keccak.sha3_256_words output).  Returns a WChunk of ``str(int)`` bytes
+    (max 78 digits; no sign), the device twin of the host prehash digit
+    rendering (scheme/device_pipeline.prehash_digits).
+
+    Digits come from 78 repeated divmod-by-10 passes over the limbs, each
+    pass in u32-safe 16-bit halves (r*2^16 + half < 2^20).
+    """
+    B = digest_words.shape[-1]
+
+    def divmod10(limbs):
+        """One divmod-by-10 sweep over [8, B] little-endian u32 limbs ->
+        (quotient limbs, remainder digit [B])."""
+        r = jnp.zeros((B,), _U32)
+        nxt = []
+        for k in range(7, -1, -1):
+            w = limbs[k]
+            hi = w >> np.uint32(16)
+            lo = w & np.uint32(0xFFFF)
+            r1 = (r << np.uint32(16)) | hi
+            qhi = r1 // np.uint32(10)
+            r2 = ((r1 - qhi * np.uint32(10)) << np.uint32(16)) | lo
+            qlo = r2 // np.uint32(10)
+            r = r2 - qlo * np.uint32(10)
+            nxt.append((qhi << np.uint32(16)) | qlo)
+        return jnp.stack(nxt[::-1]), r
+
+    try:
+        unrolled = jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover
+        unrolled = False
+    if unrolled:
+        # full unroll: 78 dependent ~50-op sweeps; scan latency would dominate
+        limbs = digest_words
+        planes = []
+        for _ in range(PREHASH_DIGITS):
+            limbs, r = divmod10(limbs)
+            planes.append(r + np.uint32(ord("0")))
+    else:
+        # CPU (tests): the 5k-op unrolled chain makes XLA's CPU compile take
+        # minutes — scan keeps the program one sweep long
+        def step(limbs, _):
+            limbs, r = divmod10(limbs)
+            return limbs, r + np.uint32(ord("0"))
+
+        _, digs = jax.lax.scan(step, digest_words, None, length=PREHASH_DIGITS)
+        planes = [digs[t] for t in range(PREHASH_DIGITS)]
+    # field: 80 bytes (20 words), right-aligned: byte 79-t is digit t (LSB t)
+    # bytes 0..1 are scratch zeros
+    byte_planes = [jnp.zeros((B,), _U32), jnp.zeros((B,), _U32)] + planes[::-1]
+    field = jnp.stack(
+        [
+            byte_planes[4 * w]
+            | (byte_planes[4 * w + 1] << np.uint32(8))
+            | (byte_planes[4 * w + 2] << np.uint32(16))
+            | (byte_planes[4 * w + 3] << np.uint32(24))
+            for w in range(20)
+        ]
+    )  # [20, B]
+    # length = index of the most significant nonzero digit + 1 (min 1: "0")
+    t_idx = jnp.arange(PREHASH_DIGITS, dtype=_I32)[:, None]  # LSB-first index
+    nz = jnp.stack([p != np.uint32(ord("0")) for p in planes])  # [78, B]
+    length = jnp.maximum(jnp.max(jnp.where(nz, t_idx + 1, 0), axis=0), 1)
+    field = shift_left_w(field, np.int32(80) - length, 79)
+    field = mask_tail_w(field, length)
+    return WChunk(buf=field, length=length, max_len=PREHASH_DIGITS, min_len=1)
 
 
 def render_decimal_cells_w(values, sep: bytes) -> WChunk:

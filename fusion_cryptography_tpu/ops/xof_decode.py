@@ -252,16 +252,34 @@ def decode_coeffs_lm(xof_bytes, geom: DecodeGeometry):
 
     p0 = jnp.broadcast_to(jnp.arange(w, dtype=_I32)[:, None], (w, B))
 
-    # The swap chain is fully unrolled at trace time: S is static (195 in
-    # production) and each step is ~6 elementwise ops on [w, B] — as a scan
-    # the per-iteration loop latency dominates the arithmetic by >10x.
-    pos = p0
-    for t in range(S):
-        i_t = np.int32(i_vals[t])
-        j = j_all[t][None, :]  # [1, B]
-        at_i = (pos == i_t).astype(_I32)
-        at_j = (pos == j).astype(_I32)
-        pos = pos + at_i * (j - i_t) + at_j * (i_t - j)
+    # On the accelerator the swap chain is fully unrolled at trace time: S is
+    # static (195 in production) and each step is ~6 elementwise ops on
+    # [w, B], so per-iteration scan latency dominates the arithmetic by >10x.
+    # On CPU (the test suite) a partially-unrolled scan keeps compiles fast.
+    try:
+        full = jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover
+        full = False
+    if full:
+        pos = p0
+        for t in range(S):
+            i_t = np.int32(i_vals[t])
+            j = j_all[t][None, :]  # [1, B]
+            at_i = (pos == i_t).astype(_I32)
+            at_j = (pos == j).astype(_I32)
+            pos = pos + at_i * (j - i_t) + at_j * (i_t - j)
+    else:
+
+        def swap(p, xs):
+            i_t, j_t = xs  # scalar int32, [B]
+            j = j_t[None, :]
+            at_i = (p == i_t).astype(_I32)
+            at_j = (p == j).astype(_I32)
+            return p + at_i * (j - i_t) + at_j * (i_t - j), None
+
+        pos, _ = jax.lax.scan(
+            swap, p0, (jnp.asarray(i_vals, _I32), j_all), unroll=16
+        )
     iota_d = jax.lax.broadcasted_iota(_I32, (1, d, 1), 1)
     hits = (pos[:, None, :] == iota_d).astype(_I32)  # [w, d, B]
     return jnp.sum(vals[:, None, :] * hits, axis=0)  # [d, B]

@@ -44,6 +44,7 @@ from ..ops import ragged_words as rw
 from ..ops import xof_decode
 from ..ops.keccak import (
     RATE,
+    sha3_256_words,
     shake256_absorb_lanes,
     shake256_absorb_lanes_lm,
     shake256_absorb_words,
@@ -191,11 +192,9 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool):
             return shake256_words_pallas(words, total, n_out)
         if use_words:
             wbuf, total = ds.assemble_chunks_words(
-                spec, values=values, extras=extras, extra_bounds=bounds
+                spec, values=values, extras=extras, extra_bounds=bounds,
+                pad_words=_pad_rate_words(spec.out_max),
             )
-            pad = _pad_rate_words(spec.out_max) - wbuf.shape[0]
-            if pad > 0:
-                wbuf = jnp.pad(wbuf, ((0, pad), (0, 0)))
             state = shake256_absorb_words(wbuf, total)
             return shake256_squeeze_lanes_lm(state, n_out)
         extras = [(eb.astype(jnp.uint8), el) for eb, el in extras]
@@ -207,19 +206,13 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool):
             buf = jnp.pad(buf, ((0, pad), (0, 0)))
         return _shake_lm(buf, total, n_out)
 
-    def _signer_stage_words(vk2d_t, pre_buf_t, pre_len):
+    def _signer_stage_words(vk2d_t, pre_chunk: "rw.WChunk"):
         """Word path with the str(vk) subtree assembled ONCE and folded into
         both the challenge preimage and the triple."""
-        pre_w = rw.pack_bytes_to_words(pre_buf_t.astype(jnp.uint8))
-        lo, hi = pre_bounds[0]
-        pre_chunk = rw.WChunk(
-            buf=pre_w, length=pre_len.astype(jnp.int32), max_len=hi, min_len=lo
-        )
         vk_chunk = ds.vk_chunk_w(params, vk2d_t)
-        wbuf, total = ds.fold_challenge_preimage_w(params, vk_chunk, pre_chunk)
-        padw = _pad_rate(ch_spec.out_max) // 4 - wbuf.shape[0]
-        if padw > 0:
-            wbuf = jnp.pad(wbuf, ((0, padw), (0, 0)))
+        wbuf, total = ds.fold_challenge_preimage_w(
+            params, vk_chunk, pre_chunk, pad_words=_pad_rate_words(ch_spec.out_max)
+        )
         xof = shake256_squeeze_lanes_lm(
             shake256_absorb_words(wbuf, total), g["n_xof_ch_used"]
         )
@@ -230,10 +223,33 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool):
         tbuf, tlen = ds.fold_triple_w(params, vk_chunk, pre_chunk, c_hat_t)
         return cc, c_hat_u, tbuf, tlen
 
+    def prehash_stage(msg_words, msg_len):
+        """Device prehash: RAW message preimage words (dst + "," + message)
+        -> prehash digit words (uint32[20, B], int32[B]).  SHA3-256 runs on
+        the same sponge as the challenge XOFs (keccak.sha3_256_words) and the
+        78-digit decimal rendering is a u32 divmod chain
+        (ragged_words.render_bigint_dec_w), so a verify call uploads
+        ~(3 + len(msg)) bytes per signer instead of 82 digit bytes and spends
+        zero host CPU on hashing."""
+        digest = sha3_256_words(msg_words, msg_len)
+        chunk = rw.render_bigint_dec_w(digest)
+        return chunk.buf, chunk.length
+
     def signer_stage(vk2d_t, pre_buf_t, pre_len):
+        """``pre_buf_t`` carries the prehash digits: uint8[78, B] host-rendered
+        bytes, or uint32[20, B] packed words straight from prehash_stage."""
         B = vk2d_t.shape[1]
         if use_words:
-            return _signer_stage_words(vk2d_t, pre_buf_t, pre_len)
+            lo, hi = pre_bounds[0]
+            pre_w = (
+                pre_buf_t
+                if pre_buf_t.dtype == jnp.uint32
+                else rw.pack_bytes_to_words(pre_buf_t.astype(jnp.uint8))
+            )
+            pre_chunk = rw.WChunk(
+                buf=pre_w, length=pre_len.astype(jnp.int32), max_len=hi, min_len=lo
+            )
+            return _signer_stage_words(vk2d_t, pre_chunk)
         xof = _hash_stage(
             ch_spec, vk2d_t, [(pre_buf_t, pre_len)], pre_bounds, g["n_xof_ch_used"], B
         )
@@ -266,6 +282,7 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool):
         )  # [d, G*N]
         return al_t.T.reshape(G, N, d)
 
+    signer_stage.prehash = prehash_stage if use_words else None
     return signer_stage, group_stage
 
 
@@ -339,13 +356,34 @@ def _pipeline(params: Params, n_signers: int):
     N = n_signers
     a_mont = F.to_mont(F.to_unsigned(jnp.asarray(params.public_challenge)))
     signer_stage, group_stage = make_stages(params, N, use_pallas_default())
+    device_prehash = signer_stage.prehash is not None and not _host_prehash_forced()
 
-    @jax.jit
-    def j_signer(vks, pre_buf, pre_len):
-        G = vks.shape[0]
-        B = G * N
-        vk2d_t = vks.reshape(B, 2 * d).T  # [2d, B]
-        return signer_stage(vk2d_t, pre_buf.reshape(B, -1).T, pre_len.reshape(B))
+    if device_prehash:
+        j_prehash = jax.jit(
+            lambda mw, ml: signer_stage.prehash(mw.reshape(ml.size, -1).T, ml.reshape(-1))
+        )
+
+        def j_signer(vks, msg_words, msg_len):
+            G = vks.shape[0]
+            B = G * N
+            digit_w, digit_len = j_prehash(msg_words, msg_len)
+            return _j_signer_core(vks, digit_w, digit_len)
+
+        @jax.jit
+        def _j_signer_core(vks, digit_w, digit_len):
+            G = vks.shape[0]
+            B = G * N
+            vk2d_t = vks.reshape(B, 2 * d).T  # [2d, B]
+            return signer_stage(vk2d_t, digit_w, digit_len)
+
+    else:
+
+        @jax.jit
+        def j_signer(vks, pre_buf, pre_len):
+            G = vks.shape[0]
+            B = G * N
+            vk2d_t = vks.reshape(B, 2 * d).T  # [2d, B]
+            return signer_stage(vk2d_t, pre_buf.reshape(B, -1).T, pre_len.reshape(B))
 
     @jax.jit
     def j_group(tbuf, tlen):
@@ -380,7 +418,35 @@ def _pipeline(params: Params, n_signers: int):
         return eq, norm_ok, weight_ok, cc.reshape(G, N, d), al
 
     prod = lambda *a: grouped_verify(*a)[:3]  # noqa: E731
+    prod.device_prehash = grouped_verify.device_prehash = device_prehash
     return prod, grouped_verify
+
+
+def _host_prehash_forced() -> bool:
+    """``FUSION_HOST_PREHASH=1`` keeps the SHA3 message prehash on the host
+    (the round-2 behavior); the default word path hashes and renders the
+    prehash digits on device."""
+    import os
+
+    return bool(os.environ.get("FUSION_HOST_PREHASH"))
+
+
+def msg_preimage_words(params: Params, messages: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+    """Host prep for the device prehash: ``dst + "," + message`` preimages as
+    packed words (uint32[B, Wt], int32[B]), Wt a whole number of SHAKE rate
+    blocks.  ~(3 + len(msg)) bytes per signer instead of 82 digit bytes."""
+    prefix = bytes(params.sign_pre_hash_dst) + b","
+    bufs = [prefix + m.encode("utf-8") for m in messages]
+    L = max(len(b) for b in bufs)
+    Wt = _pad_rate(L) // 4
+    arr = np.zeros((len(bufs), Wt * 4), dtype=np.uint8)
+    lens = np.empty(len(bufs), dtype=np.int32)
+    for i, b in enumerate(bufs):
+        arr[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+    w = arr.reshape(len(bufs), Wt, 4).astype(np.uint32)
+    words = w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16) | (w[..., 3] << 24)
+    return words, lens
 
 
 def _launch_chunks(G: int, group_chunk: int):
@@ -429,8 +495,12 @@ def verify_batch_device(
     runs as several launches whose results are concatenated on device.
     """
     G, N = vks.shape[0], vks.shape[1]
-    pre_buf, pre_len = prehash_digits(params, messages)
     fn, _ = _pipeline(params, N)
+    pre_buf, pre_len = (
+        msg_preimage_words(params, messages)
+        if fn.device_prehash
+        else prehash_digits(params, messages)
+    )
     return _run_chunked(fn, params, N, vks, pre_buf, pre_len, aggs, group_chunk, 3)
 
 
@@ -440,6 +510,10 @@ def derive_coeffs_device(
     """Debug/test entry: returns (eq, norm_ok, weight_ok, challenge coeffs
     int32[G, N, d], alpha coeffs int32[G, N, d])."""
     G, N = vks.shape[0], vks.shape[1]
-    pre_buf, pre_len = prehash_digits(params, messages)
     _, fn = _pipeline(params, N)
+    pre_buf, pre_len = (
+        msg_preimage_words(params, messages)
+        if fn.device_prehash
+        else prehash_digits(params, messages)
+    )
     return _run_chunked(fn, params, N, vks, pre_buf, pre_len, aggs, group_chunk, 5)

@@ -221,6 +221,75 @@ def test_shake_words_matches_hashlib(lens):
         assert bytes(got[:, k]) == want, f"payload len {lens[k]}"
 
 
+def test_sha3_words_matches_hashlib():
+    from hashlib import sha3_256
+
+    from fusion_cryptography_tpu.ops.keccak import sha3_256_words
+
+    rng = np.random.default_rng(17)
+    lens = [0, 1, 13, 133, 134, 135, 136, 200]
+    B = len(lens)
+    W = (max(lens) // RATE + 2) * RATE
+    by = np.zeros((W, B), dtype=np.uint8)
+    payloads = []
+    for k, l in enumerate(lens):
+        p = rng.integers(0, 256, size=l, dtype=np.uint8).tobytes()
+        payloads.append(p)
+        by[:l, k] = np.frombuffer(p, dtype=np.uint8)
+    words = rw.pack_bytes_to_words(jnp.asarray(by))
+    dig = np.asarray(sha3_256_words(words, jnp.asarray(np.array(lens, np.int32))))
+    got = np.asarray(rw.unpack_words_to_bytes(jnp.asarray(dig), 32))
+    for k, p in enumerate(payloads):
+        assert bytes(got[:, k]) == sha3_256(p).digest(), f"len {lens[k]}"
+
+
+def test_render_bigint_dec_matches_str():
+    rng = np.random.default_rng(23)
+    digests = [rng.integers(0, 256, 32, dtype=np.uint8).tobytes() for _ in range(6)]
+    digests += [b"\x00" * 32, b"\x01" + b"\x00" * 31, b"\xff" * 32, b"\x00" * 31 + b"\x01"]
+    B = len(digests)
+    limbs = np.zeros((8, B), dtype=np.uint32)
+    for k, dg in enumerate(digests):
+        limbs[:, k] = np.frombuffer(dg, dtype="<u4")
+    chunk = rw.render_bigint_dec_w(jnp.asarray(limbs))
+    by = np.asarray(rw.unpack_words_to_bytes(chunk.buf, 80))
+    lens = np.asarray(chunk.length)
+    for k, dg in enumerate(digests):
+        want = str(int.from_bytes(dg, "little")).encode()
+        assert lens[k] == len(want), (k, lens[k], len(want))
+        assert bytes(by[: len(want), k]) == want
+        assert not by[len(want):, k].any()
+
+
+def test_device_prehash_pipeline_matches_host():
+    """verify/derive through msg_preimage_words (device SHA3 + digit render)
+    must produce identical coefficients to the host-prehash path."""
+    import fusion_cryptography_tpu.scheme.device_pipeline as dp
+
+    params = ftpu.fusion_setup(128, 5)
+    rng = np.random.default_rng(8)
+    G, N, d = 2, 2, params.degree
+    q = params.modulus
+    vks = jnp.asarray(rng.integers(-(q // 2), q // 2 + 1, size=(G, N, 2, d)).astype(np.int32))
+    aggs = jnp.asarray(rng.integers(-(q // 2), q // 2 + 1, size=(G, params.rank, d)).astype(np.int32))
+    msgs = ["", "hello", "a" * 140, "unicode: éß"]
+
+    fn3, fn5 = dp._pipeline(params, N)
+    assert fn5.device_prehash, "word path should default to device prehash"
+    out_dev = dp.derive_coeffs_device(params, vks, msgs, aggs)
+
+    import os
+    os.environ["FUSION_HOST_PREHASH"] = "1"
+    dp._pipeline.cache_clear()
+    try:
+        out_host = dp.derive_coeffs_device(params, vks, msgs, aggs)
+    finally:
+        del os.environ["FUSION_HOST_PREHASH"]
+        dp._pipeline.cache_clear()
+    for a, b in zip(out_dev[3:], out_host[3:]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_absorb_words_scratch_garbage_ignored():
     # bytes at or beyond ``lens`` must not affect the digest
     rng = np.random.default_rng(9)
