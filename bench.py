@@ -6,11 +6,12 @@ Prints ONE JSON line:
 
 Measures the END-TO-END grouped verify for G independent aggregate signatures
 of N signers each, with the ENTIRE hash pipeline on the TPU
-(scheme/device_pipeline.py): preimage assembly, SHAKE256 XOFs, challenge and
-aggregation-coefficient decoding, NTTs, and the lattice equation all execute
-in fused Pallas/XLA kernels.  The only host work per timed iteration is the
-SHA3-256 message prehash (native C, threaded) and its 78-byte digit upload —
-exactly the host/device split a production verifier would run.
+(scheme/device_pipeline.py): SHA3-256 message prehash + decimal rendering,
+preimage assembly, SHAKE256 XOFs, challenge and aggregation-coefficient
+decoding, NTTs, and the lattice equation all execute on-chip (packed-word XLA
+kernels).  The only host work per timed iteration is building the raw
+``dst + "," + message`` byte batch — exactly the host/device split a
+production verifier would run.
 
 Fleet construction (keygen/sign/aggregate for G*N one-time keys) also runs
 on-device (scheme/device_setup.py) and is reported but not timed.

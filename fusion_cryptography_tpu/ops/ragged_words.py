@@ -159,9 +159,25 @@ def shift_left_w(buf, s, max_s: int):
     # {0, k, 2k, 3k}-word shifts with lax.select_n, halving the number of
     # materialized intermediates vs a radix-2 pad+where chain (the assembly
     # is HBM-traffic-bound, so writes are what count).
+    # FUSION_RADIX2_BARREL=1 falls back to the radix-2 chain (debug knob).
+    import os
+
     wq = s >> 2
     max_wq = max_s >> 2
     Ww = buf.shape[-2]
+    if os.environ.get("FUSION_RADIX2_BARREL"):
+        bit = 1
+        while bit <= max_wq:
+            if bit < Ww:
+                spec = [(0, 0)] * buf.ndim
+                spec[-2] = (0, bit)
+                shifted = jnp.pad(buf[..., bit:, :], spec)
+            else:
+                shifted = jnp.zeros_like(buf)
+            take = ((wq & bit) != 0)[..., None, :]
+            buf = jnp.where(take, shifted, buf)
+            bit <<= 1
+        return buf
 
     def word_shift(b, k):
         if k <= 0:

@@ -13,12 +13,13 @@ moves the *entire* grouped-verify dataflow onto the chip:
     -> aggregation XOF + alpha decode
     -> target/observed sums, norm/weight bounds  (ops/field)
 
-One ``jax.jit`` per (params, N, G-shape): a verify batch is a single device
-launch with no host hashing, no serialization, and no per-signer transfers —
-the only inputs are the key/signature tensors plus 78-byte prehash digit
-fields (SHA3 of the messages stays on host: it is O(bytes of message) and
-produces the ``str(int)`` rendering the wire format needs,
-fusion/fusion.py:405-409).
+One ``jax.jit`` per (params, N, G-shape): a verify batch is a handful of
+device launches with no host hashing, no serialization, and no per-signer
+transfers — the only inputs are the key/signature tensors plus the raw
+``dst + "," + message`` bytes.  The SHA3-256 message prehash AND its
+``str(int)`` decimal rendering (fusion/fusion.py:405-409) run on device too
+(keccak.sha3_256_words + ragged_words.render_bigint_dec_w);
+``FUSION_HOST_PREHASH=1`` restores the host prehash.
 
 Bit-exactness: every stage is the device twin of a host stage that is itself
 KAT-verified; tests/test_device_pipeline.py asserts equality of challenge and
@@ -272,9 +273,15 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool):
             )
         return cc, c_hat_u, tbuf, tlen
 
-    def group_stage(tbuf, tlen):
-        G = tbuf.shape[1]
-        extras = [(tbuf[:, :, k], tlen[:, k]) for k in range(N)]
+    def group_stage_parts(tbs, tls):
+        """N pre-split triple buffers ([Lt, G] each) + lengths -> alphas.
+
+        Callers slice the [Lt, G, N] stack OUTSIDE the jit (tiny eager copies)
+        so the strided per-signer views enter this program as materialized
+        parameters — in-graph slicing trips the same TPU layout-propagation
+        corruption as the signer transposes."""
+        G = tbs[0].shape[1]
+        extras = [(tbs[k], tls[k]) for k in range(N)]
         blob = _hash_stage(agg_spec, None, extras, tri_bounds, N * g["block_ag"], G)
         per = jnp.moveaxis(blob.reshape(N, g["block_ag"], G), 0, 2)  # [block, G, N]
         al_t = xof_decode.decode_coeffs_lm(
@@ -282,7 +289,13 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool):
         )  # [d, G*N]
         return al_t.T.reshape(G, N, d)
 
+    def group_stage(tbuf, tlen):
+        return group_stage_parts(
+            [tbuf[:, :, k] for k in range(N)], [tlen[:, k] for k in range(N)]
+        )
+
     signer_stage.prehash = prehash_stage if use_words else None
+    group_stage.parts = group_stage_parts
     return signer_stage, group_stage
 
 
@@ -358,36 +371,45 @@ def _pipeline(params: Params, n_signers: int):
     signer_stage, group_stage = make_stages(params, N, use_pallas_default())
     device_prehash = signer_stage.prehash is not None and not _host_prehash_forced()
 
+    # The [G, N, 2, d] -> [2d, B] input transposes run as their OWN tiny jit:
+    # when they are part of the signer program, XLA's TPU layout propagation
+    # fuses the transpose into the word-assembly consumers and ~7% of lanes
+    # decode wrong coefficients (reproduced at B=8192; the identical stage fed
+    # pre-materialized lane-major parameters is bit-exact, and an
+    # optimization_barrier does NOT prevent it).  A jit boundary forces the
+    # physical transpose into the default layout.
+    j_vkt = jax.jit(lambda vks: vks.reshape(-1, 2 * d).T)
+    j_pret = jax.jit(lambda pb, pl: (pb.reshape(pl.size, -1).T, pl.reshape(-1)))
+
     if device_prehash:
         j_prehash = jax.jit(
             lambda mw, ml: signer_stage.prehash(mw.reshape(ml.size, -1).T, ml.reshape(-1))
         )
 
         def j_signer(vks, msg_words, msg_len):
-            G = vks.shape[0]
-            B = G * N
             digit_w, digit_len = j_prehash(msg_words, msg_len)
-            return _j_signer_core(vks, digit_w, digit_len)
-
-        @jax.jit
-        def _j_signer_core(vks, digit_w, digit_len):
-            G = vks.shape[0]
-            B = G * N
-            vk2d_t = vks.reshape(B, 2 * d).T  # [2d, B]
-            return signer_stage(vk2d_t, digit_w, digit_len)
+            return _j_core(j_vkt(vks), digit_w, digit_len)
 
     else:
 
-        @jax.jit
         def j_signer(vks, pre_buf, pre_len):
-            G = vks.shape[0]
-            B = G * N
-            vk2d_t = vks.reshape(B, 2 * d).T  # [2d, B]
-            return signer_stage(vk2d_t, pre_buf.reshape(B, -1).T, pre_len.reshape(B))
+            pre_t, plen = j_pret(pre_buf, pre_len)
+            return _j_core(j_vkt(vks), pre_t, plen)
 
     @jax.jit
+    def _j_core(vk2d_t, pre_t, pre_len):
+        return signer_stage(vk2d_t, pre_t, pre_len)
+
+    @jax.jit
+    def _j_group_core(*parts):
+        return group_stage.parts(list(parts[:N]), list(parts[N:]))
+
     def j_group(tbuf, tlen):
-        return group_stage(tbuf, tlen)
+        # slice the per-signer views eagerly (materialized) — see
+        # group_stage_parts
+        return _j_group_core(
+            *[tbuf[:, :, k] for k in range(N)], *[tlen[:, k] for k in range(N)]
+        )
 
     @jax.jit
     def j_lattice(vks, c_hat_u, al, aggs):
@@ -417,8 +439,35 @@ def _pipeline(params: Params, n_signers: int):
         eq, norm_ok, weight_ok = j_lattice(vks, c_hat_u, al, aggs)
         return eq, norm_ok, weight_ok, cc.reshape(G, N, d), al
 
+    def staged_verify(vks, pre_buf, pre_len, aggs, signer_chunk: int):
+        """Chunk-decoupled composition: the SIGNER half (working set ~40 KB
+        per signer) runs in ``signer_chunk``-group launches to bound HBM
+        traffic, while the GROUP hash — whose VPU lanes are the group count,
+        4x scarcer at N=4 — runs over ALL groups in one launch.  The lattice
+        stage is chunked with the signers (its INTT coefficient buffer is the
+        other large allocation).  Bitwise identical to grouped_verify."""
+        G = vks.shape[0]
+        sparts = [
+            j_signer(vks[lo:hi], pre_buf[lo:hi], pre_len[lo:hi])
+            for lo, hi in _launch_chunks(G, signer_chunk)
+        ]
+        tbuf = jnp.concatenate([p[2] for p in sparts], axis=-1)  # [Lw, G*N]
+        tlen = jnp.concatenate([p[3] for p in sparts], axis=-1)
+        al = j_group(tbuf.reshape(-1, G, N), tlen.reshape(G, N))
+        outs = []
+        for (lo, hi), p in zip(_launch_chunks(G, signer_chunk), sparts):
+            outs.append(j_lattice(vks[lo:hi], p[1], al[lo:hi], aggs[lo:hi]))
+        eq, norm_ok, weight_ok = (
+            outs[0]
+            if len(outs) == 1
+            else tuple(jnp.concatenate([o[k] for o in outs]) for k in range(3))
+        )
+        cc = jnp.concatenate([p[0] for p in sparts]).reshape(G, N, d)
+        return eq, norm_ok, weight_ok, cc, al
+
     prod = lambda *a: grouped_verify(*a)[:3]  # noqa: E731
     prod.device_prehash = grouped_verify.device_prehash = device_prehash
+    prod.staged = staged_verify
     return prod, grouped_verify
 
 
@@ -483,6 +532,7 @@ def verify_batch_device(
     aggs,
     *,
     group_chunk: int = 2048,
+    group_hash_chunk: int = 16384,
 ):
     """Grouped verify with the full hash pipeline on device.
 
@@ -501,7 +551,22 @@ def verify_batch_device(
         if fn.device_prehash
         else prehash_digits(params, messages)
     )
-    return _run_chunked(fn, params, N, vks, pre_buf, pre_len, aggs, group_chunk, 3)
+    if G <= group_chunk:
+        return _run_chunked(fn, params, N, vks, pre_buf, pre_len, aggs, group_chunk, 3)
+    # decoupled batching: signer/lattice in group_chunk launches, the group
+    # hash over group_hash_chunk groups at once (its lane count is the group
+    # count — 4x scarcer than signer lanes at N=4)
+    vks = jnp.asarray(vks)
+    aggs = jnp.asarray(aggs)
+    pre_buf = jnp.asarray(pre_buf.reshape(G, N, -1))
+    pre_len = jnp.asarray(pre_len.reshape(G, N))
+    parts = [
+        fn.staged(vks[lo:hi], pre_buf[lo:hi], pre_len[lo:hi], aggs[lo:hi], group_chunk)[:3]
+        for lo, hi in _launch_chunks(G, group_hash_chunk)
+    ]
+    if len(parts) == 1:
+        return parts[0]
+    return tuple(jnp.concatenate([p[k] for p in parts]) for k in range(3))
 
 
 def derive_coeffs_device(

@@ -88,15 +88,28 @@ def _sign_agg_fn(params: Params, n_signers: int):
 
     # Separate jits per stage: one module with every Pallas kernel inlined
     # overflows the remote compile helper (see device_pipeline._pipeline).
-    @jax.jit
-    def j_signer(vk, pre_buf, pre_len):
-        B = vk.shape[0]
-        vk2d_t = vk.reshape(B, 2 * d).T
-        return signer_stage(vk2d_t, pre_buf.T, pre_len)
+    # The input transposes are their own jit: fused into the signer program,
+    # XLA's TPU layout propagation corrupts ~7% of lanes (see
+    # device_pipeline._pipeline).
+    j_lanes = jax.jit(lambda vk, pb: (vk.reshape(vk.shape[0], 2 * d).T, pb.T))
 
     @jax.jit
+    def j_signer_core(vk2d_t, pre_t, pre_len):
+        return signer_stage(vk2d_t, pre_t, pre_len)
+
+    def j_signer(vk, pre_buf, pre_len):
+        vk2d_t, pre_t = j_lanes(vk, pre_buf)
+        return j_signer_core(vk2d_t, pre_t, pre_len)
+
+    @jax.jit
+    def _j_group_core(*parts):
+        return group_stage.parts(list(parts[:N]), list(parts[N:]))
+
     def j_group(tbuf, tlen):
-        return group_stage(tbuf, tlen)
+        # eager per-signer slices — see device_pipeline.group_stage_parts
+        return _j_group_core(
+            *[tbuf[:, :, k] for k in range(N)], *[tlen[:, k] for k in range(N)]
+        )
 
     @jax.jit
     def j_math(sk_hat_u, c_hat_u, al):

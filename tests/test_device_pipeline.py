@@ -50,6 +50,28 @@ def test_device_pipeline_rejects_tampered(secpar=128):
     assert bool(eq[0]) and not bool(eq[1])
 
 
+def test_device_pipeline_staged_matches_unchunked(secpar=128):
+    # G=6 > group_chunk=2 triggers the decoupled staged path in
+    # verify_batch_device: signer/lattice in 2-group launches, the group hash
+    # over group_hash_chunk=4 then a remainder of 2 — verdicts must equal the
+    # one-launch path bit-exactly
+    params = ftpu.fusion_setup(secpar, 41)
+    G, N = 6, 2
+    vks, msgs, aggs, _, _ = _build_groups(params, G, N, seed0=1300)
+    bad = aggs.copy()
+    bad[3, 0, 0] = (bad[3, 0, 0] + 1) % params.modulus
+    eq1, n1, w1 = dp.verify_batch_device(
+        params, vks, msgs, bad, group_chunk=2, group_hash_chunk=4
+    )
+    eq0, n0, w0 = dp.verify_batch_device(
+        params, vks, msgs, bad, group_chunk=64
+    )
+    np.testing.assert_array_equal(np.asarray(eq1), np.asarray(eq0))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n0))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w0))
+    assert not bool(np.asarray(eq1)[3]) and bool(np.asarray(eq1)[0])
+
+
 def test_device_pipeline_chunked_paths(secpar=128):
     # group_chunk=2 with G=5 forces two full launches plus a remainder launch
     # (_launch_chunks -> [(0,2),(2,4),(4,5)]); results must concatenate to the
