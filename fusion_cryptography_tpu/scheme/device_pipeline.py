@@ -378,23 +378,30 @@ def _pipeline(params: Params, n_signers: int):
     # pre-materialized lane-major parameters is bit-exact, and an
     # optimization_barrier does NOT prevent it).  A jit boundary forces the
     # physical transpose into the default layout.
-    j_vkt = jax.jit(lambda vks: vks.reshape(-1, 2 * d).T)
-    j_pret = jax.jit(lambda pb, pl: (pb.reshape(pl.size, -1).T, pl.reshape(-1)))
-
     if device_prehash:
-        j_prehash = jax.jit(
-            lambda mw, ml: signer_stage.prehash(mw.reshape(ml.size, -1).T, ml.reshape(-1))
+        # one producer launch: vk transpose + on-device SHA3 prehash + digit
+        # render (safe to co-reside — only the *consumer* word assembly is
+        # layout-sensitive; verified bit-exact at B=8192 on-chip)
+        j_prep = jax.jit(
+            lambda vks, mw, ml: (vks.reshape(-1, 2 * d).T,)
+            + signer_stage.prehash(mw.reshape(ml.size, -1).T, ml.reshape(-1))
         )
 
         def j_signer(vks, msg_words, msg_len):
-            digit_w, digit_len = j_prehash(msg_words, msg_len)
-            return _j_core(j_vkt(vks), digit_w, digit_len)
+            vk2d_t, digit_w, digit_len = j_prep(vks, msg_words, msg_len)
+            return _j_core(vk2d_t, digit_w, digit_len)
 
     else:
+        j_prep_h = jax.jit(
+            lambda vks, pb, pl: (
+                vks.reshape(-1, 2 * d).T,
+                pb.reshape(pl.size, -1).T,
+                pl.reshape(-1),
+            )
+        )
 
         def j_signer(vks, pre_buf, pre_len):
-            pre_t, plen = j_pret(pre_buf, pre_len)
-            return _j_core(j_vkt(vks), pre_t, plen)
+            return _j_core(*j_prep_h(vks, pre_buf, pre_len))
 
     @jax.jit
     def _j_core(vk2d_t, pre_t, pre_len):
@@ -404,12 +411,16 @@ def _pipeline(params: Params, n_signers: int):
     def _j_group_core(*parts):
         return group_stage.parts(list(parts[:N]), list(parts[N:]))
 
-    def j_group(tbuf, tlen):
-        # slice the per-signer views eagerly (materialized) — see
-        # group_stage_parts
-        return _j_group_core(
-            *[tbuf[:, :, k] for k in range(N)], *[tlen[:, k] for k in range(N)]
+    # one launch for all 2N per-signer slices (outputs materialize in default
+    # layout — the safe boundary — while keeping the tunnel dispatch count low)
+    j_gsplit = jax.jit(
+        lambda tbuf, tlen: tuple(
+            [tbuf[:, :, k] for k in range(N)] + [tlen[:, k] for k in range(N)]
         )
+    )
+
+    def j_group(tbuf, tlen):
+        return _j_group_core(*j_gsplit(tbuf, tlen))
 
     @jax.jit
     def j_lattice(vks, c_hat_u, al, aggs):

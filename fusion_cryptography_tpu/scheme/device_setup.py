@@ -105,11 +105,15 @@ def _sign_agg_fn(params: Params, n_signers: int):
     def _j_group_core(*parts):
         return group_stage.parts(list(parts[:N]), list(parts[N:]))
 
-    def j_group(tbuf, tlen):
-        # eager per-signer slices — see device_pipeline.group_stage_parts
-        return _j_group_core(
-            *[tbuf[:, :, k] for k in range(N)], *[tlen[:, k] for k in range(N)]
+    j_gsplit = jax.jit(
+        lambda tbuf, tlen: tuple(
+            [tbuf[:, :, k] for k in range(N)] + [tlen[:, k] for k in range(N)]
         )
+    )
+
+    def j_group(tbuf, tlen):
+        # producer-jit per-signer slices — see device_pipeline.group_stage_parts
+        return _j_group_core(*j_gsplit(tbuf, tlen))
 
     @jax.jit
     def j_math(sk_hat_u, c_hat_u, al):
