@@ -20,6 +20,11 @@ strings as *little-endian packed words* uint32[ceil(W/4), B]:
 Bit-exactness vs the byte path is asserted in tests/test_ragged_words.py.
 Shapes follow the lane-major convention (batch minor): buf uint32[..., Ww, B],
 length int32[..., B] counted in BYTES.
+
+Reference behavior reproduced: the hashed ``str()`` preimages of
+/root/reference/fusion/fusion.py:417 and :586-589 (decimal renders
+interleaved with template text) and the ``str(int)`` prehash rendering of
+fusion.py:405-409 (:func:`render_bigint_dec_w`).
 """
 from __future__ import annotations
 
