@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Verify-path experiment harness: build the benchmark fleet ONCE, cache it in
+benchmarks_output/, then time verify_batch_device variants against it.
+
+Usage:
+  python benchmarks/verify_lab.py [--groups G] [--signers N] [--secpar S]
+                                  [--chunk C] [--reps R] [--rebuild]
+"""
+import argparse
+import pickle
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+OUT = Path(__file__).resolve().parent / "benchmarks_output"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--groups", type=int, default=8192)
+    ap.add_argument("--signers", type=int, default=4)
+    ap.add_argument("--secpar", type=int, default=256)
+    ap.add_argument("--chunk", type=int, default=2048)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--rebuild", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    cache = Path(__file__).resolve().parents[1] / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import jax.numpy as jnp
+
+    import fusion_cryptography_tpu as ftpu
+    from fusion_cryptography_tpu.scheme import device_pipeline as dp
+
+    G, N = args.groups, args.signers
+    params = ftpu.fusion_setup(args.secpar, 42)
+    OUT.mkdir(exist_ok=True)
+    tag = f"fleet_{args.secpar}_{G}_{N}"
+    fp = OUT / f"{tag}.npz"
+    mp = OUT / f"{tag}_msgs.pkl"
+    if fp.exists() and mp.exists() and not args.rebuild:
+        z = np.load(fp)
+        vks_np, aggs_np = z["vks"], z["aggs"]
+        s_msgs = pickle.loads(mp.read_bytes())
+        print(f"loaded cached fleet {tag}", flush=True)
+    else:
+        from fusion_cryptography_tpu.scheme import device_setup as dset
+
+        t0 = time.time()
+        vks, s_msgs, aggs = dset.build_fleet(params, G, N, seed0=1)
+        vks_np, aggs_np = np.asarray(vks), np.asarray(aggs)
+        print(f"built fleet in {time.time()-t0:.1f}s", flush=True)
+        np.savez(fp, vks=vks_np, aggs=aggs_np)
+        mp.write_bytes(pickle.dumps(s_msgs))
+
+    vks = jnp.asarray(vks_np)
+    aggs = jnp.asarray(aggs_np)
+    np.asarray(aggs[:1, :1, :1])  # sync upload
+
+    def run():
+        eq, _, _ = dp.verify_batch_device(
+            params, vks, s_msgs, aggs, group_chunk=args.chunk
+        )
+        return eq
+
+    t0 = time.time()
+    eq = np.asarray(run())
+    print(f"warm (incl. compile): {time.time()-t0:.1f}s ok={bool(eq.all())}",
+          flush=True)
+    times = []
+    for _ in range(args.reps):
+        t0 = time.time()
+        eq = np.asarray(run())
+        times.append(time.time() - t0)
+        assert eq.all()
+    dt = min(times)
+    print(f"chunk={args.chunk}: {G} verifies in {dt:.3f}s -> {G/dt:,.0f}/s "
+          f"({dt/G*1e6:.1f} us/group; reps {[f'{t:.3f}' for t in times]})",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -25,7 +25,7 @@ fixed shapes.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from math import ceil, log2
+from math import ceil, gcd, log2
 
 import jax
 import jax.numpy as jnp
@@ -200,6 +200,53 @@ def _horner_mod_lm(blocks, mods):
     return r
 
 
+def _fy_place_lm(vals, j_all, geom: DecodeGeometry):
+    """Partial-Fisher-Yates placement (lane-major): live values ``vals``
+    int32[w, B] + swap targets ``j_all`` int32[S, B] -> int32[d, B].
+
+    Tracks the positions of the ``w`` live values through the swap chain
+    (a swap (i, j) moves a tracked value at i to j and vice versa), then
+    scatters them with one one-hot sum — see :func:`decode_coeffs` notes.
+    """
+    d, w = geom.degree, geom.weight_bound
+    B = vals.shape[-1]
+    S = geom.num_swaps
+    i_vals = np.arange(d - 1, w, -1)  # [S]
+    p0 = jnp.broadcast_to(jnp.arange(w, dtype=_I32)[:, None], (w, B))
+
+    # On the accelerator the swap chain is fully unrolled at trace time: S is
+    # static (195 in production) and each step is ~6 elementwise ops on
+    # [w, B], so per-iteration scan latency dominates the arithmetic by >10x.
+    # On CPU (the test suite) a partially-unrolled scan keeps compiles fast.
+    try:
+        full = jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover
+        full = False
+    if full:
+        pos = p0
+        for t in range(S):
+            i_t = np.int32(i_vals[t])
+            j = j_all[t][None, :]  # [1, B]
+            at_i = (pos == i_t).astype(_I32)
+            at_j = (pos == j).astype(_I32)
+            pos = pos + at_i * (j - i_t) + at_j * (i_t - j)
+    else:
+
+        def swap(p, xs):
+            i_t, j_t = xs  # scalar int32, [B]
+            j = j_t[None, :]
+            at_i = (p == i_t).astype(_I32)
+            at_j = (p == j).astype(_I32)
+            return p + at_i * (j - i_t) + at_j * (i_t - j), None
+
+        pos, _ = jax.lax.scan(
+            swap, p0, (jnp.asarray(i_vals, _I32), j_all), unroll=16
+        )
+    iota_d = jax.lax.broadcasted_iota(_I32, (1, d, 1), 1)
+    hits = (pos[:, None, :] == iota_d).astype(_I32)  # [w, d, B]
+    return jnp.sum(vals[:, None, :] * hits, axis=0)  # [d, B]
+
+
 def decode_coeffs_lm(xof_bytes, geom: DecodeGeometry):
     """Lane-major :func:`decode_coeffs`: uint8[n, B] streams -> int32[d, B].
 
@@ -249,37 +296,155 @@ def decode_coeffs_lm(xof_bytes, geom: DecodeGeometry):
         nxt = (r * np.uint32(256) + idx_blocks[:, k].astype(_U32)) % mods
         r = jnp.where(jnp.asarray(k < avail)[:, None], nxt, r)
     j_all = r.astype(_I32)  # [S, B]
+    return _fy_place_lm(vals, j_all, geom)
 
-    p0 = jnp.broadcast_to(jnp.arange(w, dtype=_I32)[:, None], (w, B))
 
-    # On the accelerator the swap chain is fully unrolled at trace time: S is
-    # static (195 in production) and each step is ~6 elementwise ops on
-    # [w, B], so per-iteration scan latency dominates the arithmetic by >10x.
-    # On CPU (the test suite) a partially-unrolled scan keeps compiles fast.
-    try:
-        full = jax.default_backend() != "cpu"
-    except Exception:  # pragma: no cover
-        full = False
-    if full:
-        pos = p0
-        for t in range(S):
-            i_t = np.int32(i_vals[t])
-            j = j_all[t][None, :]  # [1, B]
-            at_i = (pos == i_t).astype(_I32)
-            at_j = (pos == j).astype(_I32)
-            pos = pos + at_i * (j - i_t) + at_j * (i_t - j)
-    else:
+# ---------------------------------------------------------------------------
+# Word-native decode (production path): streams uint32[W, B] packed words
+# ---------------------------------------------------------------------------
 
-        def swap(p, xs):
-            i_t, j_t = xs  # scalar int32, [B]
-            j = j_t[None, :]
-            at_i = (p == i_t).astype(_I32)
-            at_j = (p == j).astype(_I32)
-            return p + at_i * (j - i_t) + at_j * (i_t - j), None
 
-        pos, _ = jax.lax.scan(
-            swap, p0, (jnp.asarray(i_vals, _I32), j_all), unroll=16
+def _block_powers(geom_off: int, count: int, bpb: int, mods: np.ndarray, n_bytes: int):
+    """Per-(row, byte) power-of-256 tables for the masked big-endian reduce.
+
+    Row t's value is the big-endian integer over its AVAILABLE bytes (the
+    reference reads with plain slicing, so a truncated stream yields truncated
+    ints and empty reads give 0 — see :func:`decode_coeffs` notes):
+
+        v_t = sum_k byte[t, k] * 256^(avail_t - 1 - k)   (k < avail_t)
+
+    so  v_t mod m_t = (sum_k byte[t, k] * P[t, k]) mod m_t with
+    P[t, k] = 256^(avail_t-1-k) mod m_t for k < avail_t, else 0.  The sum
+    fits uint32 whenever bpb * 255 * (max(m)-1) < 2**32 (checked by callers).
+    """
+    avail = np.clip(n_bytes - (geom_off + np.arange(count) * bpb), 0, bpb)
+    P = np.zeros((count, bpb), dtype=np.uint32)
+    for t in range(count):
+        m = int(mods[t] if mods.ndim else mods)
+        a = int(avail[t])
+        for k in range(a):
+            P[t, k] = pow(256, a - 1 - k, m)
+    return P
+
+
+def realign_words(words, byte_off: int, out_words: int):
+    """Static sub-word realign of packed-word streams: returns
+    uint32[out_words, B] whose byte j is byte ``byte_off + j`` of the input
+    (zero-filled past the end).  ~3 VPU ops — free next to any dynamic shift."""
+    r0, w0 = byte_off % 4, byte_off // 4
+    need = out_words + (1 if r0 else 0)
+    reg = words[w0 : w0 + need]
+    pad = need - reg.shape[0]
+    if pad > 0:
+        reg = jnp.pad(reg, ((0, pad), (0, 0)))
+    if r0:
+        sh = np.uint32(8 * r0)
+        nxt = jnp.pad(reg[1:], ((0, 1), (0, 0)))
+        reg = (reg >> sh) | (nxt << (np.uint32(32) - sh))
+    return reg[:out_words]
+
+
+def split_streams_w(blob_w, n_streams: int, stream_bytes: int):
+    """Split concatenated fixed-length streams: uint32[Wtot, B] carrying
+    ``n_streams`` consecutive ``stream_bytes``-byte streams ->
+    uint32[ceil(stream_bytes/4), B, n_streams].  Stream k's word rows are
+    statically realigned (stream boundaries need not be word-aligned)."""
+    bw = -(-stream_bytes // 4)
+    outs = [
+        realign_words(blob_w, k * stream_bytes, bw) for k in range(n_streams)
+    ]
+    return jnp.stack(outs, axis=2)
+
+
+def _block_horner_w(xof_words, n_bytes: int, off: int, count: int, bpb: int,
+                    mods: np.ndarray):
+    """Masked big-endian reduce of ``count`` consecutive ``bpb``-byte blocks
+    starting at byte ``off`` of packed-word streams uint32[W, B] -> uint32
+    [count, B] with row t reduced mod ``mods[t]``.
+
+    Word-native: the blocks are regrouped so ``g = 4/gcd(bpb, 4)`` rows span a
+    whole number of words, every byte is extracted with a STATIC shift, and
+    the whole row reduces with ONE modulo (vs one per byte in the byte-path
+    Horner) using precomputed 256^j mod m tables.
+    """
+    W, B = xof_words.shape
+    mods = np.asarray(mods, dtype=np.uint32)
+    if mods.ndim == 0:
+        mods = np.broadcast_to(mods, (count,)).copy()
+    if count == 0:
+        return jnp.zeros((0, B), _U32)
+    if int(mods.max()) > 1 and bpb * 255 * (int(mods.max()) - 1) >= 1 << 32:
+        raise NotImplementedError(
+            "word-native reduce needs bpb*255*(m-1) < 2**32; use the byte path"
         )
-    iota_d = jax.lax.broadcasted_iota(_I32, (1, d, 1), 1)
-    hits = (pos[:, None, :] == iota_d).astype(_I32)  # [w, d, B]
-    return jnp.sum(vals[:, None, :] * hits, axis=0)  # [d, B]
+    g = 4 // gcd(bpb, 4)  # rows per whole-word block
+    blk_w = g * bpb // 4  # words per block
+    R = -(-count // g)  # padded block count
+    region = realign_words(xof_words, off, R * blk_w).reshape(R, blk_w, B)
+
+    mods_pad = np.concatenate([mods, np.ones(R * g - count, np.uint32)])
+    P = _block_powers(off, R * g, bpb, mods_pad, n_bytes)  # [R*g, bpb]
+    outs = []
+    for s in range(g):
+        acc = jnp.zeros((R, B), _U32)
+        for k in range(bpb):
+            q = s * bpb + k
+            col = P[s::g, k][:, None]  # [R, 1] — row t = rr*g + s
+            if not col.any():
+                continue
+            byte = (region[:, q // 4, :] >> np.uint32(8 * (q % 4))) & np.uint32(0xFF)
+            acc = acc + byte * jnp.asarray(col)
+        outs.append(acc % jnp.asarray(mods_pad[s::g][:, None]))
+    out = jnp.stack(outs, axis=1).reshape(R * g, B)  # row t = rr*g + s
+    return out[:count]
+
+
+def decode_coeffs_w(xof_words, geom: DecodeGeometry, n_bytes: int):
+    """Word-native :func:`decode_coeffs_lm`: packed-word XOF streams
+    uint32[W, B] (ops/ragged_words layout, logical length ``n_bytes`` bytes,
+    W >= ceil(n_bytes/4)) -> int32[degree, B].
+
+    Bit-exact twin of the byte decoders for the same logical stream; consumes
+    ops/keccak.shake256_squeeze_words output directly, so the production
+    pipeline never materializes an [n, B] byte tensor between the sponge and
+    the coefficients.
+    """
+    d, w = geom.degree, geom.weight_bound
+    W, B = xof_words.shape
+    if n_bytes < geom.min_bytes:
+        raise ValueError(
+            f"Too few bytes to decode polynomial. Expected {geom.min_bytes} "
+            f"but got {n_bytes}"
+        )
+    if 4 * W < n_bytes:
+        raise ValueError(f"{W} words carry fewer than {n_bytes} bytes")
+
+    # signums: bit i of the big-endian int over the first signum bytes,
+    # static word index + combined static shift per i
+    nb = geom.bytes_for_signums
+    i_arr = np.arange(w)
+    src_byte = nb - 1 - i_arr // 8
+    sig_words = xof_words[src_byte // 4]  # [w, B] (static gather, w <= 64)
+    shift = (8 * (src_byte % 4) + i_arr % 8).astype(np.uint32)
+    bits = (sig_words >> jnp.asarray(shift)[:, None]) & np.uint32(1)
+    signums = (2 * bits.astype(_I32)) - 1  # [w, B]
+
+    if geom.bound == 1:
+        vals = signums
+    else:
+        mags = _block_horner_w(
+            xof_words, n_bytes, nb, w, geom.bytes_per_coefficient,
+            np.uint32(geom.bound),
+        ).astype(_I32) + 1
+        vals = mags * signums
+
+    S = geom.num_swaps
+    if S == 0:
+        return jnp.concatenate([vals, jnp.zeros((d - w, B), _I32)], axis=0)
+
+    i_vals = np.arange(d - 1, w, -1)  # [S]
+    j_all = _block_horner_w(
+        xof_words, n_bytes, geom.index_stream_offset, S, geom.bytes_per_index,
+        (i_vals + 1).astype(np.uint32),
+    ).astype(_I32)
+    return _fy_place_lm(vals, j_all, geom)

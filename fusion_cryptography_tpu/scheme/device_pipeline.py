@@ -51,6 +51,7 @@ from ..ops.keccak import (
     shake256_absorb_words,
     shake256_squeeze_lanes,
     shake256_squeeze_lanes_lm,
+    shake256_squeeze_words,
 )
 from ..ops.ntt import ntt_fwd_u, ntt_inv_u
 from ..params import Params
@@ -209,15 +210,17 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool):
 
     def _signer_stage_words(vk2d_t, pre_chunk: "rw.WChunk"):
         """Word path with the str(vk) subtree assembled ONCE and folded into
-        both the challenge preimage and the triple."""
+        both the challenge preimage and the triple.  The XOF stays packed
+        words end-to-end: squeeze_words -> decode_coeffs_w, no [n, B] byte
+        tensor between the sponge and the coefficients."""
         vk_chunk = ds.vk_chunk_w(params, vk2d_t)
         wbuf, total = ds.fold_challenge_preimage_w(
             params, vk_chunk, pre_chunk, pad_words=_pad_rate_words(ch_spec.out_max)
         )
-        xof = shake256_squeeze_lanes_lm(
-            shake256_absorb_words(wbuf, total), g["n_xof_ch_used"]
+        xw = shake256_squeeze_words(
+            shake256_absorb_words(wbuf, total), -(-g["n_xof_ch_used"] // 4)
         )
-        cc_t = xof_decode.decode_coeffs_lm(xof, g["geom_ch"])  # [d, B]
+        cc_t = xof_decode.decode_coeffs_w(xw, g["geom_ch"], g["n_xof_ch_used"])  # [d, B]
         cc = cc_t.T
         c_hat_u = ntt_fwd_u(plan, F.to_unsigned(cc))  # [B, d]
         c_hat_t = F.to_centered(c_hat_u).T  # [d, B]
@@ -231,7 +234,13 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool):
         78-digit decimal rendering is a u32 divmod chain
         (ragged_words.render_bigint_dec_w), so a verify call uploads
         ~(3 + len(msg)) bytes per signer instead of 82 digit bytes and spends
-        zero host CPU on hashing."""
+        zero host CPU on hashing.  The host uploads TIGHT word rows
+        (msg_preimage_words); the static pad to a whole number of rate blocks
+        happens here, on device, where it is free."""
+        Wt = msg_words.shape[0]
+        pad = _pad_rate(Wt * 4) // 4 - Wt
+        if pad > 0:
+            msg_words = jnp.pad(msg_words, ((0, pad), (0, 0)))
         digest = sha3_256_words(msg_words, msg_len)
         chunk = rw.render_bigint_dec_w(digest)
         return chunk.buf, chunk.length
@@ -282,6 +291,23 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool):
         corruption as the signer transposes."""
         G = tbs[0].shape[1]
         extras = [(tbs[k], tls[k]) for k in range(N)]
+        if use_words:
+            # packed words end-to-end: assemble -> absorb -> squeeze_words ->
+            # per-signer realigned word streams -> decode_coeffs_w.  Replaces
+            # the [N*block, G] byte blob + moveaxis shuffle of the byte path.
+            wbuf, total = ds.assemble_chunks_words(
+                agg_spec, values=None, extras=extras, extra_bounds=tri_bounds,
+                pad_words=_pad_rate_words(agg_spec.out_max),
+            )
+            blob_w = shake256_squeeze_words(
+                shake256_absorb_words(wbuf, total),
+                -(-(N * g["block_ag"]) // 4),
+            )  # [ceil(N*block/4), G]
+            per_w = xof_decode.split_streams_w(blob_w, N, g["block_ag"])
+            al_t = xof_decode.decode_coeffs_w(
+                per_w.reshape(-1, G * N), g["geom_ag"], g["block_ag"]
+            )  # [d, G*N]
+            return al_t.T.reshape(G, N, d)
         blob = _hash_stage(agg_spec, None, extras, tri_bounds, N * g["block_ag"], G)
         per = jnp.moveaxis(blob.reshape(N, g["block_ag"], G), 0, 2)  # [block, G, N]
         al_t = xof_decode.decode_coeffs_lm(
@@ -493,20 +519,26 @@ def _host_prehash_forced() -> bool:
 
 def msg_preimage_words(params: Params, messages: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
     """Host prep for the device prehash: ``dst + "," + message`` preimages as
-    packed words (uint32[B, Wt], int32[B]), Wt a whole number of SHAKE rate
-    blocks.  ~(3 + len(msg)) bytes per signer instead of 82 digit bytes."""
+    packed words (uint32[B, Wt], int32[B]).
+
+    Wt is the TIGHT word count for the longest message in the batch (the
+    device pads to a whole number of SHAKE rate blocks for free), so a verify
+    call uploads ~(4 + len(msg)) bytes per signer instead of a full 136-byte
+    rate block — the host->device transfer is the serial prefix of every
+    verify call, so its size is throughput-critical over slow links.
+    Fully vectorized (no per-message Python in the packing loop).
+    """
     prefix = bytes(params.sign_pre_hash_dst) + b","
     bufs = [prefix + m.encode("utf-8") for m in messages]
-    L = max(len(b) for b in bufs)
-    Wt = _pad_rate(L) // 4
-    arr = np.zeros((len(bufs), Wt * 4), dtype=np.uint8)
-    lens = np.empty(len(bufs), dtype=np.int32)
-    for i, b in enumerate(bufs):
-        arr[i, : len(b)] = np.frombuffer(b, np.uint8)
-        lens[i] = len(b)
-    w = arr.reshape(len(bufs), Wt, 4).astype(np.uint32)
-    words = w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16) | (w[..., 3] << 24)
-    return words, lens
+    B = len(bufs)
+    lens = np.fromiter((len(b) for b in bufs), np.int32, B)
+    L = int(lens.max(initial=1))
+    Wt = -(-L // 4)
+    arr = np.zeros((B, Wt * 4), dtype=np.uint8)
+    if B:
+        mask = np.arange(Wt * 4) < lens[:, None]
+        arr[mask] = np.frombuffer(b"".join(bufs), np.uint8)
+    return arr.view("<u4"), lens
 
 
 def _launch_chunks(G: int, group_chunk: int):

@@ -73,3 +73,50 @@ def test_decode_rejects_short_input():
     geom = xof_decode.geometry(256, Q, 256, 1, 60)
     with pytest.raises(ValueError, match="Too few bytes"):
         xof_decode.decode_coeffs(np.zeros((1, 10), dtype=np.uint8), geom)
+
+
+@pytest.mark.parametrize(
+    "secpar,degree,weight,bound,trunc",
+    [
+        (256, 256, 60, 1, False),  # production challenge geometry
+        (256, 256, 60, 1, True),  # production alpha geometry (truncated)
+        (128, 64, 27, 1, False),  # secpar=128 challenge (offset % 4 == 3)
+        (128, 64, 35, 1, True),  # secpar=128 alpha
+        (256, 256, 60, 52, False),  # bound > 1 magnitude path
+        (128, 64, 63, 7, True),  # near-full weight, one swap
+    ],
+)
+def test_decode_words_matches_lane_major(secpar, degree, weight, bound, trunc):
+    """The packed-word decoder is a bit-exact twin of the byte decoders for
+    full and truncated streams, aligned and misaligned index offsets."""
+    from fusion_cryptography_tpu.ops.ragged_words import pack_bytes_to_words
+
+    geom = xof_decode.geometry(secpar, Q, degree, bound, weight)
+    n = geom.min_bytes if trunc else (
+        geom.index_stream_offset + degree * geom.bytes_per_index
+    )
+    rng = np.random.default_rng(1000 * secpar + degree + weight + bound)
+    B = 7
+    raw = rng.integers(0, 256, size=(n, B), dtype=np.uint8)
+    want = np.asarray(xof_decode.decode_coeffs_lm(raw, geom))
+    words = pack_bytes_to_words(raw)
+    got = np.asarray(xof_decode.decode_coeffs_w(words, geom, n))
+    assert np.array_equal(got, want)
+    # scratch garbage in the partial tail word must not leak in
+    if n % 4:
+        wfull = np.array(words)  # writable copy
+        wfull[-1] |= np.uint32(0xA5A5A5A5) << np.uint32(8 * (n % 4))
+        got2 = np.asarray(xof_decode.decode_coeffs_w(wfull, geom, n))
+        assert np.array_equal(got2, want)
+
+
+def test_decode_words_rejects_short_input():
+    geom = xof_decode.geometry(256, Q, 256, 1, 60)
+    with pytest.raises(ValueError, match="Too few bytes"):
+        xof_decode.decode_coeffs_w(
+            np.zeros((2, 3), np.uint32), geom, geom.min_bytes - 1
+        )
+    with pytest.raises(ValueError, match="fewer than"):
+        xof_decode.decode_coeffs_w(
+            np.zeros((4, 3), np.uint32), geom, geom.min_bytes
+        )
