@@ -160,51 +160,43 @@ def shift_left_w(buf, s, max_s: int):
     nxt = jnp.pad(buf[..., 1:, :], spec)
     hi = jnp.where(sa > 0, nxt << (np.uint32(32) - sa), np.uint32(0))
     buf = jnp.where(sa > 0, (buf >> sa) | hi, buf)
-    # word-level barrel over wq = s // 4, radix 4: each pass selects among
-    # {0, k, 2k, 3k}-word shifts with lax.select_n, halving the number of
-    # materialized intermediates vs a radix-2 pad+where chain (the assembly
-    # is HBM-traffic-bound, so writes are what count).
-    # FUSION_RADIX2_BARREL=1 falls back to the radix-2 chain (debug knob).
+    # word-level barrel over wq = s // 4, radix 4.  Every pass pre-pads the
+    # buffer ONCE and takes its shifted operands as SLICES of that one array:
+    # XLA fuses slice operands into the select but materializes pad-created
+    # operands, so the slice form runs each pass at ~HBM roofline — measured
+    # 2.4x faster than the pad-per-operand form at [1800w, 8192]
+    # (benchmarks/shift_lab.py).  FUSION_RADIX2_BARREL=1 falls back to a
+    # radix-2 where-chain (debug knob, same slice trick).
     import os
 
     wq = s >> 2
     max_wq = max_s >> 2
     Ww = buf.shape[-2]
+
+    def ext_pad(b, n):
+        spec = [(0, 0)] * b.ndim
+        spec[-2] = (0, n)
+        return jnp.pad(b, spec)
+
+    def sl(b, k):
+        return jax.lax.slice_in_dim(b, k, k + Ww, axis=b.ndim - 2)
+
     if os.environ.get("FUSION_RADIX2_BARREL"):
         bit = 1
         while bit <= max_wq:
-            if bit < Ww:
-                spec = [(0, 0)] * buf.ndim
-                spec[-2] = (0, bit)
-                shifted = jnp.pad(buf[..., bit:, :], spec)
-            else:
-                shifted = jnp.zeros_like(buf)
+            ext = ext_pad(buf, bit)
             take = ((wq & bit) != 0)[..., None, :]
-            buf = jnp.where(take, shifted, buf)
+            buf = jnp.where(take, sl(ext, bit), buf)
             bit <<= 1
         return buf
 
-    def word_shift(b, k):
-        if k <= 0:
-            return b
-        if k >= Ww:
-            return jnp.zeros_like(b)
-        spec = [(0, 0)] * b.ndim
-        spec[-2] = (0, k)
-        return jnp.pad(b[..., k:, :], spec)
-
     step = 1
     while step <= max_wq:
-        if 2 * step > max_wq:  # single radix-2 tail pass
-            take = ((wq & step) != 0)[..., None, :]
-            buf = jnp.where(take, word_shift(buf, step), buf)
-            break
-        sel = ((wq // step) & 3)[..., None, :]
+        hi = min(3, max_wq // step)
+        ext = ext_pad(buf, hi * step)
+        sel = jnp.minimum((wq // step) & 3, hi)[..., None, :]
         sel = jnp.broadcast_to(sel, buf.shape)
-        buf = jax.lax.select_n(
-            sel, buf, word_shift(buf, step), word_shift(buf, 2 * step),
-            word_shift(buf, 3 * step),
-        )
+        buf = jax.lax.select_n(sel, *[sl(ext, k * step) for k in range(hi + 1)])
         step <<= 2
     return buf
 
