@@ -75,12 +75,22 @@ def main():
     log(f"native host lib: {native.available()}; device: {jax.devices()[0]}")
     params = ftpu.fusion_setup(args.secpar, 42)
 
-    # ---- build G aggregate groups on device (setup cost, not timed) --------
+    # ---- build G aggregate groups on device ---------------------------------
+    # pass 1 pays the stage compiles (shared with the verifier's jits); pass 2
+    # re-runs with fresh seeds for the warm keygen+sign+aggregate metric
     t0 = time.time()
     vks, msgs, aggs = dset.build_fleet(params, G, N, seed0=1)
-    jnp.asarray(aggs)[0, 0, 0].block_until_ready()
-    _ = np.asarray(aggs[:1, :1, :1])  # real sync
-    log(f"on-device keygen+sign+aggregate for {G*N} keys: {time.time()-t0:.1f}s")
+    _ = np.asarray(aggs[:1, :1, :1])  # real sync (block_until_ready lies here)
+    log(f"on-device keygen+sign+aggregate for {G*N} keys: {time.time()-t0:.1f}s "
+        f"(incl. compile)")
+    t0 = time.time()
+    vks2, msgs2, aggs2 = dset.build_fleet(params, G, N, seed0=1 + 2 * G * N)
+    _ = np.asarray(aggs2[:1, :1, :1])
+    fleet_dt = time.time() - t0
+    fleet_rate = G * N / fleet_dt
+    log(f"warm keygen+sign+aggregate: {G*N} keys in {fleet_dt:.2f}s "
+        f"-> {fleet_rate:,.0f} keys/s/chip")
+    del vks2, msgs2, aggs2
 
     if args.host_pipeline:
         from fusion_cryptography_tpu.interop import serial
@@ -122,6 +132,12 @@ def main():
         "value": round(vps, 2),
         "unit": "verifies/s/chip",
         "vs_baseline": round(vps / REFERENCE_VERIFIES_PER_SEC, 1),
+        # secondary metric: on-device keygen+sign+aggregate fleet construction
+        # (reference keygen alone is ~0.8 s/key single-core, BASELINE.md)
+        "extras": {
+            "keygen_sign_aggregate_keys_per_s": round(fleet_rate, 1),
+            "keygen_sign_aggregate_keys": G * N,
+        },
     }))
 
 

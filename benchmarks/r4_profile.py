@@ -60,37 +60,31 @@ def main():
         sk = dset._sample_sk(params, [1 + k for k in range(B)])
         t0 = t("host sample_sk (C MT19937)", t0)
         sk_hat_u, vk = dset._keygen_fn(params)(jnp.asarray(sk))
-        vk_np = np.asarray(vk)
-        t0 = t("device keygen + vk pull (64MB)", t0)
-        reprs = [serial.vk_str(params, vk_np[i]) for i in range(B)]
-        t0 = t("host vk_str x B", t0)
-        order = np.empty((G, N), dtype=np.int64)
-        for g in range(G):
-            idx = list(range(g * N, (g + 1) * N))
-            idx.sort(key=lambda i: reprs[i])
-            order[g] = idx
-        flat = order.reshape(-1)
-        t0 = t("host per-group sort", t0)
+        ranks = np.asarray(dset.vk_sort_ranks(params, vk, N))
+        t0 = t("device keygen + sort ranks (+pull GN ints)", t0)
+        order = np.argsort(ranks, axis=1)
+        flat = (order + np.arange(G)[:, None] * N).reshape(-1)
         messages = [f"group{g}:msg{i}" for g in range(G) for i in range(N)]
         s_msgs = [messages[i] for i in flat]
-        pre_buf, pre_len = dp.prehash_digits(params, s_msgs)
-        t0 = t("host prehash_digits", t0)
+        t0 = t("host argsort + msg reorder", t0)
         oflat = jnp.asarray(flat)
         sk_s = jnp.take(sk_hat_u, oflat, axis=0)
         vk_s = jnp.take(vk, oflat, axis=0)
-        fn = dset._sign_agg_fn(params, N)
-        sig_parts, agg_parts = [], []
-        step = max(N, (8192 // N) * N)
-        for lo in range(0, B, step):
-            hi = min(B, lo + step)
-            sigs, aggs = fn(sk_s[lo:hi], vk_s[lo:hi],
-                            jnp.asarray(pre_buf[lo:hi]), jnp.asarray(pre_len[lo:hi]))
-            sig_parts.append(sigs)
+        vks = vk_s.reshape(G, N, 2, d)
+        P = dp.get_pipeline(params, N)
+        j_math = dset._math_fn(params, N)
+        agg_parts = []
+        for lo, hi in dp._launch_chunks(G, 2048):
+            pb, pl = P.prep(s_msgs[lo * N : hi * N])
+            pbd = jnp.asarray(pb.reshape(hi - lo, N, -1))
+            pld = jnp.asarray(pl.reshape(hi - lo, N))
+            _, c_hat_u, tbuf, tlen = P.signer(vks[lo:hi], pbd, pld)
+            al = P.group(tbuf.reshape(-1, hi - lo, N), tlen.reshape(hi - lo, N))
+            sigs, aggs = j_math(sk_s[lo * N : hi * N], c_hat_u, al)
             agg_parts.append(aggs)
         aggs = jnp.concatenate(agg_parts) if len(agg_parts) > 1 else agg_parts[0]
         _ = np.asarray(aggs[:1, :1, :1])
         t0 = t("device sign+aggregate (chunked)", t0)
-    vks = vk_s.reshape(G, N, 2, d)
 
     print(f"verify, G={G} groups:")
     fn, _ = dp._pipeline(params, N)

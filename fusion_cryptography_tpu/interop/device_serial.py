@@ -434,44 +434,13 @@ def assemble_chunks_words(
     """
     if len(extras) != spec.num_extras:
         raise ValueError(f"spec needs {spec.num_extras} extras, got {len(extras)}")
-    nodes = _compile_spec(spec)
     if values is not None:
         if values.shape[0] != spec.num_numbers:
             raise ValueError(f"spec needs int32[{spec.num_numbers}, B] values")
         B = values.shape[-1]
     else:
         B = extras[0][0].shape[-1]
-    out = []
-    for node in nodes:
-        if node[0] == "const":
-            cb = rw.pack_const_words(node[1])
-            out.append(
-                rw.WChunk(
-                    buf=jnp.broadcast_to(jnp.asarray(cb)[:, None], (len(cb), B)),
-                    length=jnp.full((B,), len(node[1]), jnp.int32),
-                    max_len=len(node[1]),
-                    min_len=len(node[1]),
-                )
-            )
-        elif node[0] == "cells":
-            _, sep, i0, count = node
-            cells = rw.render_decimal_cells_w(values[i0 : i0 + count], sep)
-            out.append(
-                rw.merge_cells_w(cells)
-                if count > 1
-                else rw.WChunk(cells.buf[0], cells.length[0], cells.max_len, cells.min_len)
-            )
-        else:
-            e = node[1]
-            eb, el = extras[e]
-            w = spec.extra_widths[e]
-            if eb.shape[0] != rw.words_for(w):
-                raise ValueError(
-                    f"extra word width {eb.shape[0]} != ceil(spec width {w} / 4)"
-                )
-            lo, hi = (0, w) if extra_bounds is None else extra_bounds[e]
-            out.append(rw.WChunk(buf=eb, length=el.astype(jnp.int32), max_len=hi, min_len=lo))
-    final = rw.fold_chunks_w(out)
+    final = rw.fold_chunks_w(_spec_word_nodes(spec, values, extras, extra_bounds, B))
     return _finish_chunk_w(final, spec.out_max, pad_words)
 
 
@@ -581,6 +550,30 @@ def fold_triple_w(params, vk_chunk: rw.WChunk, pre_chunk: rw.WChunk, c_hat_t):
          _const_chunk_w(b", ", B), ch_chunk, _const_chunk_w(b")", B)]
     )
     return _finish_chunk_w(tri, triple_spec(params).out_max)
+
+
+def number_terminators(spec: PreimageSpec) -> np.ndarray:
+    """uint8[num_numbers]: the template byte that FOLLOWS each rendered
+    number (',' between values, ']' after the last value of a poly body...).
+
+    Used by the on-device repr sort (scheme/device_setup.vk_sort_ranks): two
+    reprs of the same template compare lexicographically at the first
+    differing rendered number, and when one rendering is a proper prefix of
+    the other the following template byte decides — so the comparison key for
+    a number is ``render(v) ++ terminator`` (templates contain no digits or
+    '-' after a number slot, and renders contain no template bytes).
+    """
+    terms = np.zeros(spec.num_numbers, np.uint8)
+    slots = list(zip(spec.kind, spec.arg, spec.const_len))
+    for s, (k, a, _cl) in enumerate(slots):
+        if k == _KIND_NUMBER:
+            if s + 1 >= len(slots) or slots[s + 1][0] != _KIND_CONST:
+                raise ValueError(
+                    "number slot must be followed by template text for "
+                    "terminator derivation"
+                )
+            terms[a] = spec.template[slots[s + 1][1]]
+    return terms
 
 
 def spec_min_total(spec: PreimageSpec, extra_min_lens: Sequence[int]) -> int:

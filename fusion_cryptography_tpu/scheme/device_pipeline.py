@@ -26,9 +26,11 @@ KAT-verified; tests/test_device_pipeline.py asserts equality of challenge and
 alpha coefficients and of verify verdicts against the host path.
 
 HBM is bounded by ``group_chunk``: a verify of G groups runs as ceil(G /
-group_chunk) separate launches (``_run_chunked``), so the per-launch working
-set — including the [3d, B] triple-value and [Lt, B] triple-preimage buffers
-of the signer half, B = group_chunk * N — never scales with total G.
+group_chunk) separate launches (``_verify_windows``), so the per-launch
+working set — including the [3d, B] triple-value and [Lt, B] triple-preimage
+buffers of the signer half, B = group_chunk * N — never scales with total G;
+chunk k+1's host prep (message packing + upload) overlaps chunk k's device
+execution because dispatch is asynchronous.
 """
 from __future__ import annotations
 
@@ -141,7 +143,8 @@ def _pallas_selfcheck() -> bool:
     return True
 
 
-def make_stages(params: Params, n_signers: int, use_pallas: bool):
+def make_stages(params: Params, n_signers: int, use_pallas: bool,
+                use_words: bool = None):
     """The lane-major hash stages shared by grouped verify (this module) and
     the on-device benchmark setup (scheme/device_setup.py).
 
@@ -172,7 +175,8 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool):
     agg_spec = ds.agg_preimage_spec(params, N, tri_spec.out_max)
     pre_bounds = [(1, ds.PREHASH_W)]
     tri_bounds = [(g["tri_min"], tri_spec.out_max)] * N
-    use_words = not use_pallas and not os.environ.get("FUSION_BYTE_PIPELINE")
+    if use_words is None:
+        use_words = not use_pallas and not os.environ.get("FUSION_BYTE_PIPELINE")
 
     def _pad_rate_words(n_bytes: int) -> int:
         return _pad_rate(n_bytes) // 4
@@ -376,12 +380,15 @@ def _geometries(params: Params):
 
 
 @lru_cache(maxsize=32)
-def _pipeline(params: Params, n_signers: int):
-    """Build the grouped-verify function for one (params, N) shape.
+def _pipeline_cached(params: Params, n_signers: int, use_pallas: bool,
+                     use_words: bool, device_prehash: bool):
+    """Build the grouped-verify stage functions for one (params, N) shape and
+    one pipeline-flavor flag tuple (the env knobs are folded into this cache
+    key by :func:`get_pipeline`, so toggling them mid-process takes effect on
+    the next verify call).
 
-    The whole hash half runs *lane-major* (byte axis major, batch minor —
-    uint8[W, B]) so every elementwise op fills the VPU lanes with batch
-    elements; see ops/ragged.py.
+    The whole hash half runs *lane-major* (byte axis major, batch minor) so
+    every elementwise op fills the VPU lanes with batch elements.
 
     The three stages (signer hashing, group hashing, lattice verification)
     compile as SEPARATE jits composed in Python: a single module holding all
@@ -389,13 +396,17 @@ def _pipeline(params: Params, n_signers: int):
     (observed SIGKILL), and dispatch is asynchronous so the extra launch
     boundaries cost nothing — the only host sync is the caller's final pull.
     """
+    from types import SimpleNamespace
+
     plan = params.plan
     F = plan.field
     d = params.degree
     N = n_signers
     a_mont = F.to_mont(F.to_unsigned(jnp.asarray(params.public_challenge)))
-    signer_stage, group_stage = make_stages(params, N, use_pallas_default())
-    device_prehash = signer_stage.prehash is not None and not _host_prehash_forced()
+    signer_stage, group_stage = make_stages(
+        params, N, use_pallas, use_words=use_words
+    )
+    device_prehash = device_prehash and signer_stage.prehash is not None
 
     # The [G, N, 2, d] -> [2d, B] input transposes run as their OWN tiny jit:
     # when they are part of the signer program, XLA's TPU layout propagation
@@ -467,45 +478,58 @@ def _pipeline(params: Params, n_signers: int):
         weight_ok = weight <= np.int32(params.omega_vf)
         return eq, norm_ok, weight_ok
 
-    def grouped_verify(vks, pre_buf, pre_len, aggs):
-        """vks i32[G, N, 2, d]; prehash digits u8[G, N, 78] + i32[G, N];
-        aggs i32[G, rank, d] -> (eq, norm_ok, weight_ok) bool[G] (+ coeffs)."""
-        G = vks.shape[0]
-        cc, c_hat_u, tbuf, tlen = j_signer(vks, pre_buf, pre_len)
-        al = j_group(tbuf.reshape(-1, G, N), tlen.reshape(G, N))
-        eq, norm_ok, weight_ok = j_lattice(vks, c_hat_u, al, aggs)
-        return eq, norm_ok, weight_ok, cc.reshape(G, N, d), al
+    def prep(msgs_slice):
+        """Host half for one chunk: message bytes -> (pre_buf, pre_len)."""
+        if device_prehash:
+            return msg_preimage_words(params, msgs_slice)
+        return prehash_digits(params, msgs_slice)
 
-    def staged_verify(vks, pre_buf, pre_len, aggs, signer_chunk: int):
-        """Chunk-decoupled composition: the SIGNER half (working set ~40 KB
-        per signer) runs in ``signer_chunk``-group launches to bound HBM
-        traffic, while the GROUP hash — whose VPU lanes are the group count,
-        4x scarcer at N=4 — runs over ALL groups in one launch.  The lattice
-        stage is chunked with the signers (its INTT coefficient buffer is the
-        other large allocation).  Bitwise identical to grouped_verify."""
-        G = vks.shape[0]
-        sparts = [
-            j_signer(vks[lo:hi], pre_buf[lo:hi], pre_len[lo:hi])
-            for lo, hi in _launch_chunks(G, signer_chunk)
-        ]
-        tbuf = jnp.concatenate([p[2] for p in sparts], axis=-1)  # [Lw, G*N]
-        tlen = jnp.concatenate([p[3] for p in sparts], axis=-1)
-        al = j_group(tbuf.reshape(-1, G, N), tlen.reshape(G, N))
-        outs = []
-        for (lo, hi), p in zip(_launch_chunks(G, signer_chunk), sparts):
-            outs.append(j_lattice(vks[lo:hi], p[1], al[lo:hi], aggs[lo:hi]))
-        eq, norm_ok, weight_ok = (
-            outs[0]
-            if len(outs) == 1
-            else tuple(jnp.concatenate([o[k] for o in outs]) for k in range(3))
-        )
-        cc = jnp.concatenate([p[0] for p in sparts]).reshape(G, N, d)
-        return eq, norm_ok, weight_ok, cc, al
+    return SimpleNamespace(
+        signer=j_signer,
+        group=j_group,
+        lattice=j_lattice,
+        prep=prep,
+        device_prehash=device_prehash,
+        n_signers=N,
+    )
 
-    prod = lambda *a: grouped_verify(*a)[:3]  # noqa: E731
-    prod.device_prehash = grouped_verify.device_prehash = device_prehash
-    prod.staged = staged_verify
-    return prod, grouped_verify
+
+def _env_flags():
+    """Pipeline-flavor env knobs, read PER CALL so toggles take effect on the
+    next verify (they are part of the _pipeline_cached key)."""
+    import os
+
+    use_pallas = use_pallas_default()
+    use_words = (not use_pallas) and not os.environ.get("FUSION_BYTE_PIPELINE")
+    device_prehash = use_words and not _host_prehash_forced()
+    return use_pallas, use_words, device_prehash
+
+
+def get_pipeline(params: Params, n_signers: int):
+    """The production entry: stage functions for (params, N) under the
+    current env knobs."""
+    return _pipeline_cached(params, n_signers, *_env_flags())
+
+
+def _pipeline(params: Params, n_signers: int):
+    """Back-compat shim for benchmarks/tests: returns (prod, derive) callables
+    with a ``device_prehash`` attribute, mirroring the round-3 interface."""
+    P = get_pipeline(params, n_signers)
+
+    def grouped(vks, pre_buf, pre_len, aggs):
+        G = vks.shape[0]
+        cc, c_hat_u, tbuf, tlen = P.signer(vks, pre_buf, pre_len)
+        al = P.group(tbuf.reshape(-1, G, N_ := P.n_signers), tlen.reshape(G, N_))
+        eq, norm_ok, weight_ok = P.lattice(vks, c_hat_u, al, aggs)
+        d = params.degree
+        return eq, norm_ok, weight_ok, cc.reshape(G, N_, d), al
+
+    prod = lambda *a: grouped(*a)[:3]  # noqa: E731
+    prod.device_prehash = grouped.device_prehash = P.device_prehash
+    return prod, grouped
+
+
+_pipeline.cache_clear = _pipeline_cached.cache_clear
 
 
 def _host_prehash_forced() -> bool:
@@ -521,19 +545,20 @@ def msg_preimage_words(params: Params, messages: Sequence[str]) -> Tuple[np.ndar
     """Host prep for the device prehash: ``dst + "," + message`` preimages as
     packed words (uint32[B, Wt], int32[B]).
 
-    Wt is the TIGHT word count for the longest message in the batch (the
-    device pads to a whole number of SHAKE rate blocks for free), so a verify
-    call uploads ~(4 + len(msg)) bytes per signer instead of a full 136-byte
-    rate block — the host->device transfer is the serial prefix of every
-    verify call, so its size is throughput-critical over slow links.
-    Fully vectorized (no per-message Python in the packing loop).
+    Wt is the tight word count for the longest message in the batch, rounded
+    up to 8 words so nearby chunk maxima share one compiled shape (the device
+    pads to a whole number of SHAKE rate blocks for free).  A verify call
+    uploads ~(4 + len(msg)) bytes per signer instead of a full 136-byte rate
+    block — the host->device transfer is the serial prefix of every verify
+    call, so its size is throughput-critical over slow links.  Fully
+    vectorized (no per-message Python in the packing loop).
     """
     prefix = bytes(params.sign_pre_hash_dst) + b","
     bufs = [prefix + m.encode("utf-8") for m in messages]
     B = len(bufs)
     lens = np.fromiter((len(b) for b in bufs), np.int32, B)
     L = int(lens.max(initial=1))
-    Wt = -(-L // 4)
+    Wt = -(-(-(-L // 4)) // 8) * 8  # tight words, bucketed to 8
     arr = np.zeros((B, Wt * 4), dtype=np.uint8)
     if B:
         mask = np.arange(Wt * 4) < lens[:, None]
@@ -553,19 +578,69 @@ def _launch_chunks(G: int, group_chunk: int):
     return out
 
 
-def _run_chunked(fn, params, N, vks, pre_buf, pre_len, aggs, group_chunk, n_out):
-    G = vks.shape[0]
+def _verify_windows(params, P, vks, messages, aggs, group_chunk, group_hash_chunk,
+                    want_coeffs: bool):
+    """Shared chunked-verify driver with PIPELINED host prep.
+
+    The host packs and uploads chunk k+1's message preimages while the device
+    executes chunk k (dispatch is asynchronous; the only sync is the caller's
+    final pull), so the per-chunk host work — the serial prefix of round 3's
+    verify — overlaps device time entirely except for the first chunk.
+
+    The SIGNER half (working set ~40 KB per signer) runs in ``group_chunk``
+    launches to bound HBM traffic; the GROUP hash — whose VPU lanes are the
+    group count, N-fold scarcer — runs over ``group_hash_chunk`` groups at
+    once.  The lattice stage is chunked with the signers (its INTT coefficient
+    buffer is the other large allocation).
+    """
+    G, N = vks.shape[0], vks.shape[1]
+    d = params.degree
     vks = jnp.asarray(vks)
     aggs = jnp.asarray(aggs)
-    pre_buf = jnp.asarray(pre_buf.reshape(G, N, -1))
-    pre_len = jnp.asarray(pre_len.reshape(G, N))
-    parts = [
-        fn(vks[lo:hi], pre_buf[lo:hi], pre_len[lo:hi], aggs[lo:hi])
-        for lo, hi in _launch_chunks(G, group_chunk)
-    ]
-    if len(parts) == 1:
-        return parts[0]
-    return tuple(jnp.concatenate([p[k] for p in parts]) for k in range(n_out))
+    msgs = messages if isinstance(messages, list) else list(messages)
+    if len(msgs) != G * N:
+        raise ValueError(f"need {G * N} messages, got {len(msgs)}")
+    group_hash_chunk = max(group_chunk, (group_hash_chunk // group_chunk) * group_chunk)
+    chunks = _launch_chunks(G, group_chunk)
+    sparts = []
+    for lo, hi in chunks:
+        pb, pl = P.prep(msgs[lo * N : hi * N])
+        pb = jnp.asarray(pb.reshape(hi - lo, N, -1))
+        pl = jnp.asarray(pl.reshape(hi - lo, N))
+        sparts.append(P.signer(vks[lo:hi], pb, pl))
+    outs = []
+    alphas = []
+    for wlo, whi in _launch_chunks(G, group_hash_chunk):
+        idx = [i for i, (lo, hi) in enumerate(chunks) if lo >= wlo and hi <= whi]
+        if len(idx) == 1:
+            tbuf, tlen = sparts[idx[0]][2], sparts[idx[0]][3]
+        else:
+            tbuf = jnp.concatenate([sparts[i][2] for i in idx], axis=-1)
+            tlen = jnp.concatenate([sparts[i][3] for i in idx], axis=-1)
+        Gw = whi - wlo
+        al = P.group(tbuf.reshape(-1, Gw, N), tlen.reshape(Gw, N))
+        if want_coeffs:
+            alphas.append(al)
+        for i in idx:
+            lo, hi = chunks[i]
+            outs.append(
+                P.lattice(vks[lo:hi], sparts[i][1], al[lo - wlo : hi - wlo], aggs[lo:hi])
+            )
+    if len(outs) == 1:
+        eq, norm_ok, weight_ok = outs[0]
+    else:
+        eq, norm_ok, weight_ok = (
+            jnp.concatenate([o[k] for o in outs]) for k in range(3)
+        )
+    if not want_coeffs:
+        return eq, norm_ok, weight_ok
+    cc = (
+        sparts[0][0]
+        if len(sparts) == 1
+        else jnp.concatenate([p[0] for p in sparts])
+    ).reshape(G, N, d)
+    al = alphas[0] if len(alphas) == 1 else jnp.concatenate(alphas)
+    return eq, norm_ok, weight_ok, cc, al
 
 
 def verify_batch_device(
@@ -585,31 +660,13 @@ def verify_batch_device(
     Returns (eq, norm_ok, weight_ok) bool[G] device arrays.
 
     ``group_chunk`` bounds the per-launch batch (HBM working set); larger G
-    runs as several launches whose results are concatenated on device.
+    runs as several launches whose results are concatenated on device, with
+    chunk k+1's host prep overlapping chunk k's device execution.
     """
-    G, N = vks.shape[0], vks.shape[1]
-    fn, _ = _pipeline(params, N)
-    pre_buf, pre_len = (
-        msg_preimage_words(params, messages)
-        if fn.device_prehash
-        else prehash_digits(params, messages)
+    P = get_pipeline(params, vks.shape[1])
+    return _verify_windows(
+        params, P, vks, messages, aggs, group_chunk, group_hash_chunk, False
     )
-    if G <= group_chunk:
-        return _run_chunked(fn, params, N, vks, pre_buf, pre_len, aggs, group_chunk, 3)
-    # decoupled batching: signer/lattice in group_chunk launches, the group
-    # hash over group_hash_chunk groups at once (its lane count is the group
-    # count — 4x scarcer than signer lanes at N=4)
-    vks = jnp.asarray(vks)
-    aggs = jnp.asarray(aggs)
-    pre_buf = jnp.asarray(pre_buf.reshape(G, N, -1))
-    pre_len = jnp.asarray(pre_len.reshape(G, N))
-    parts = [
-        fn.staged(vks[lo:hi], pre_buf[lo:hi], pre_len[lo:hi], aggs[lo:hi], group_chunk)[:3]
-        for lo, hi in _launch_chunks(G, group_hash_chunk)
-    ]
-    if len(parts) == 1:
-        return parts[0]
-    return tuple(jnp.concatenate([p[k] for p in parts]) for k in range(3))
 
 
 def derive_coeffs_device(
@@ -617,11 +674,7 @@ def derive_coeffs_device(
 ):
     """Debug/test entry: returns (eq, norm_ok, weight_ok, challenge coeffs
     int32[G, N, d], alpha coeffs int32[G, N, d])."""
-    G, N = vks.shape[0], vks.shape[1]
-    _, fn = _pipeline(params, N)
-    pre_buf, pre_len = (
-        msg_preimage_words(params, messages)
-        if fn.device_prehash
-        else prehash_digits(params, messages)
+    P = get_pipeline(params, vks.shape[1])
+    return _verify_windows(
+        params, P, vks, messages, aggs, group_chunk, group_chunk, True
     )
-    return _run_chunked(fn, params, N, vks, pre_buf, pre_len, aggs, group_chunk, 5)

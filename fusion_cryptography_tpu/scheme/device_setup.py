@@ -2,16 +2,19 @@
 
 Round 1 built benchmark fleets through the host object path (Python repr
 rendering + per-chunk device round trips: ~236 s for 8192 keys over the
-remote tunnel).  This module keeps everything on the chip:
+remote tunnel).  Round 3 moved the math on-chip but still pulled every vk to
+the host (64 MB over the tunnel) and rendered 200+ MB of repr strings just to
+compute the reference's sort-by-str(vk) aggregation order.  This module keeps
+everything on the chip:
 
   host:   C MT19937 sampling of the short secret coefficients
           (native/fusion_native.c — bit-exact stdlib `random` semantics),
-          vk-repr rendering (C formatter) ONLY to compute the reference's
-          sort-by-str(vk) aggregation order (fusion/fusion.py:661-663),
-          SHA3-256 message prehash digits
-  device: NTT keygen + vk = A·sk (fusion.py:338-373), the full challenge
-          hash pipeline (device_pipeline.make_stages), sig = sk_l⊙c + sk_r
-          (fusion.py:534-557), alpha derivation + aggregate sum
+          raw ``dst + "," + message`` byte packing
+  device: NTT keygen + vk = A·sk (fusion.py:338-373), the sort-by-str(vk)
+          ranks (:func:`vk_sort_ranks` — only [G, N] rank ints leave the
+          chip), the full challenge hash pipeline (the SAME compiled signer/
+          group stages the verifier uses, scheme/device_pipeline), sig =
+          sk_l⊙c + sk_r (fusion.py:534-557), alpha derivation + aggregate sum
           (fusion.py:632-677)
 
 Exactness notes:
@@ -22,7 +25,7 @@ Exactness notes:
 * the aggregate inherits the same rank-degeneracy, so it is broadcast to the
   full int32[G, rank, d] layout the (rank-general) verifier consumes;
 * tests/test_device_setup.py asserts vk/sig/aggregate equality against the
-  host lifecycle path.
+  host lifecycle path, and device sort ranks against host ``sorted(str(vk))``.
 """
 from __future__ import annotations
 
@@ -34,10 +37,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..hashing.sampler import sample_short_poly_coeffs
-from ..interop import serial
 from ..ops.ntt import ntt_fwd_u
 from ..params import Params
-from .device_pipeline import make_stages, prehash_digits, use_pallas_default
+from . import device_pipeline as dp
+
+_I32 = jnp.int32
+_U32 = jnp.uint32
 
 
 def _sample_sk(params: Params, seeds: Sequence[int]) -> np.ndarray:
@@ -78,42 +83,104 @@ def _keygen_fn(params: Params):
     return keygen
 
 
+# ---------------------------------------------------------------------------
+# On-device sort-by-str(vk) ranks (fusion.py:661-663 aggregation order)
+# ---------------------------------------------------------------------------
+
+
+def _bswap32(x):
+    return (
+        ((x & np.uint32(0xFF)) << np.uint32(24))
+        | ((x & np.uint32(0xFF00)) << np.uint32(8))
+        | ((x >> np.uint32(8)) & np.uint32(0xFF00))
+        | (x >> np.uint32(24))
+    )
+
+
+def _first_nonzero(x):
+    """Order-preserving first-nonzero tree reduce along axis 0 (identity 0)."""
+    while x.shape[0] > 1:
+        n = x.shape[0]
+        if n % 2:
+            x = jnp.concatenate([x, jnp.zeros_like(x[:1])])
+            n += 1
+        p = x.reshape(n // 2, 2, *x.shape[1:])
+        e, o = p[:, 0], p[:, 1]
+        x = jnp.where(e == 0, o, e)
+    return x[0]
+
+
+@lru_cache(maxsize=8)
+def _vk_rank_fn(params: Params, n_signers: int):
+    """jit: vk int32[B, 2, d] (centered, groups of N contiguous) ->
+    ranks int32[G, N] — element i's position in its group under the
+    reference's stable sort by str(vk) (fusion.py:661-663).
+
+    Comparison key per rendered number: ``render(v) ++ terminator`` packed
+    big-endian (see interop/device_serial.number_terminators); per-pair
+    outcome is the sign at the first differing key word, ties broken by
+    original index (= the reference sort's stability).  Only the [G, N] rank
+    ints ever leave the device.
+    """
+    from ..interop import device_serial as ds
+    from ..ops import ragged_words as rw
+
+    spec = ds.vk_body_spec(params)
+    terms = np.asarray(ds.number_terminators(spec), dtype=np.uint32)  # [2d]
+    d = params.degree
+    N = n_signers
+
+    # producer jit for the [B, 2, d] -> [2d, B] transpose (the layout-hazard
+    # discipline of device_pipeline._pipeline_cached)
+    j_t = jax.jit(lambda vk: vk.reshape(-1, 2 * d).T)
+
+    @jax.jit
+    def ranks_of(vals_t):
+        B = vals_t.shape[-1]
+        G = B // N
+        cells = rw.render_decimal_cells_w(vals_t, b"")  # [2d, 3, B] u32 LE
+        field, length = cells.buf, cells.length
+        # drop each number's terminator byte at position ``length``
+        wi = jax.lax.broadcasted_iota(_I32, field.shape, 1)
+        t_val = jnp.asarray(terms)[:, None, None] << (
+            np.uint32(8) * (length & 3).astype(_U32)[:, None, :]
+        )
+        field = field | jnp.where(
+            wi == (length >> 2)[:, None, :], t_val, np.uint32(0)
+        )
+        keys = _bswap32(field).reshape(2 * d * rw.DEC_WW, B)  # lexicographic words
+        kg = keys.reshape(-1, G, N)
+        rank = jnp.zeros((G, N), _I32)
+        for i in range(N):
+            for j in range(i + 1, N):
+                c = (kg[:, :, i] > kg[:, :, j]).astype(jnp.int8) - (
+                    kg[:, :, i] < kg[:, :, j]
+                ).astype(jnp.int8)
+                s = _first_nonzero(c)  # [G]: <0 i first, >0 j first, 0 tie
+                rank = rank.at[:, j].add((s <= 0).astype(_I32))
+                rank = rank.at[:, i].add((s > 0).astype(_I32))
+        return rank
+
+    return lambda vk: ranks_of(j_t(vk))
+
+
+def vk_sort_ranks(params: Params, vk, n_signers: int):
+    """Device sort order: vk int32[B, 2, d] with groups of ``n_signers``
+    contiguous -> ranks int32[G, N] (see :func:`_vk_rank_fn`)."""
+    return _vk_rank_fn(params, n_signers)(jnp.asarray(vk))
+
+
+# ---------------------------------------------------------------------------
+# Sign + aggregate on the verifier's compiled hash stages
+# ---------------------------------------------------------------------------
+
+
 @lru_cache(maxsize=16)
-def _sign_agg_fn(params: Params, n_signers: int):
+def _math_fn(params: Params, n_signers: int):
     plan = params.plan
     F = plan.field
     d = params.degree
     N = n_signers
-    signer_stage, group_stage = make_stages(params, N, use_pallas_default())
-
-    # Separate jits per stage: one module with every Pallas kernel inlined
-    # overflows the remote compile helper (see device_pipeline._pipeline).
-    # The input transposes are their own jit: fused into the signer program,
-    # XLA's TPU layout propagation corrupts ~7% of lanes (see
-    # device_pipeline._pipeline).
-    j_lanes = jax.jit(lambda vk, pb: (vk.reshape(vk.shape[0], 2 * d).T, pb.T))
-
-    @jax.jit
-    def j_signer_core(vk2d_t, pre_t, pre_len):
-        return signer_stage(vk2d_t, pre_t, pre_len)
-
-    def j_signer(vk, pre_buf, pre_len):
-        vk2d_t, pre_t = j_lanes(vk, pre_buf)
-        return j_signer_core(vk2d_t, pre_t, pre_len)
-
-    @jax.jit
-    def _j_group_core(*parts):
-        return group_stage.parts(list(parts[:N]), list(parts[N:]))
-
-    j_gsplit = jax.jit(
-        lambda tbuf, tlen: tuple(
-            [tbuf[:, :, k] for k in range(N)] + [tlen[:, k] for k in range(N)]
-        )
-    )
-
-    def j_group(tbuf, tlen):
-        # producer-jit per-signer slices — see device_pipeline.group_stage_parts
-        return _j_group_core(*j_gsplit(tbuf, tlen))
 
     @jax.jit
     def j_math(sk_hat_u, c_hat_u, al):
@@ -132,20 +199,7 @@ def _sign_agg_fn(params: Params, n_signers: int):
         )
         return F.to_centered(sig_u), aggs
 
-    def sign_and_aggregate(sk_hat_u, vk, pre_buf, pre_len):
-        """Sorted-order sign + aggregate, all on device.
-
-        sk_hat_u u32[B, 2, d] (B = G*N, already in aggregation order),
-        vk i32[B, 2, d], prehash digits u8[B, 78] + i32[B] ->
-        (sigs i32[B, d], aggs i32[G, rank, d]).
-        """
-        B = sk_hat_u.shape[0]
-        G = B // N
-        _, c_hat_u, tbuf, tlen = j_signer(vk, pre_buf, pre_len)
-        al = j_group(tbuf.reshape(-1, G, N), tlen.reshape(G, N))  # [G, N, d]
-        return j_math(sk_hat_u, c_hat_u, al)
-
-    return sign_and_aggregate
+    return j_math
 
 
 def build_fleet(
@@ -155,13 +209,17 @@ def build_fleet(
     *,
     seed0: int = 1,
     messages: Sequence[str] = None,
-    launch_chunk: int = 8192,
+    group_chunk: int = 2048,
 ) -> Tuple[jnp.ndarray, List[str], jnp.ndarray]:
     """Build G aggregate-signature groups of N signers for benchmarking.
 
     Returns (vks int32[G, N, 2, d] sorted within groups by str(vk),
     messages flat G*N strings in that order, aggs int32[G, rank, d]) — all
     device-resident, valid under scheme.verify / device_pipeline semantics.
+
+    The hash half runs on the verifier's pipeline stages (same jits, same
+    ``group_chunk`` launch shapes), so a bench process compiles each stage
+    once for both halves.
     """
     G, N = n_groups, n_signers
     B = G * N
@@ -171,34 +229,31 @@ def build_fleet(
 
     sk = _sample_sk(params, [seed0 + k for k in range(B)])
     sk_hat_u, vk = _keygen_fn(params)(jnp.asarray(sk))
-    vk_np = np.asarray(vk)  # [B, 2, d] int32 — the one device->host pull
 
-    # the reference sorts signer tuples by str(vk) inside each group
-    reprs = [serial.vk_str(params, vk_np[i]) for i in range(B)]
-    order = np.empty((G, N), dtype=np.int64)
-    for g in range(G):
-        idx = list(range(g * N, (g + 1) * N))
-        idx.sort(key=lambda i: reprs[i])
-        order[g] = idx
-    flat = order.reshape(-1)
+    # the reference sorts signer tuples by str(vk) inside each group; the
+    # ranks come off the device as G*N ints (vs round 3's 64 MB vk pull +
+    # 200 MB of host repr rendering)
+    ranks = np.asarray(vk_sort_ranks(params, vk, N))  # [G, N]
+    order = np.argsort(ranks, axis=1)  # ranks are a permutation per group
+    flat = (order + np.arange(G)[:, None] * N).reshape(-1)
     s_msgs = [messages[i] for i in flat]
-    pre_buf, pre_len = prehash_digits(params, s_msgs)
 
     oflat = jnp.asarray(flat)
     sk_s = jnp.take(sk_hat_u, oflat, axis=0)
     vk_s = jnp.take(vk, oflat, axis=0)
+    vks = vk_s.reshape(G, N, 2, d)
 
-    fn = _sign_agg_fn(params, N)
+    P = dp.get_pipeline(params, N)
+    j_math = _math_fn(params, N)
     sig_parts, agg_parts = [], []
-    step = max(N, (launch_chunk // N) * N)
-    for lo in range(0, B, step):
-        hi = min(B, lo + step)
-        sigs, aggs = fn(
-            sk_s[lo:hi], vk_s[lo:hi],
-            jnp.asarray(pre_buf[lo:hi]), jnp.asarray(pre_len[lo:hi]),
-        )
+    for lo, hi in dp._launch_chunks(G, group_chunk):
+        pb, pl = P.prep(s_msgs[lo * N : hi * N])
+        pb = jnp.asarray(pb.reshape(hi - lo, N, -1))
+        pl = jnp.asarray(pl.reshape(hi - lo, N))
+        _, c_hat_u, tbuf, tlen = P.signer(vks[lo:hi], pb, pl)
+        al = P.group(tbuf.reshape(-1, hi - lo, N), tlen.reshape(hi - lo, N))
+        sigs, aggs = j_math(sk_s[lo * N : hi * N], c_hat_u, al)
         sig_parts.append(sigs)
         agg_parts.append(aggs)
     aggs = jnp.concatenate(agg_parts) if len(agg_parts) > 1 else agg_parts[0]
-    vks = vk_s.reshape(G, N, 2, d)
     return vks, s_msgs, aggs

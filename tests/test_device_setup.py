@@ -51,3 +51,44 @@ def test_fleet_256_small():
     for g in range(2):
         ok, why = lc.verify(params, np.asarray(vks[g]), msgs[g * 2 : (g + 1) * 2], aggs[g])
         assert ok, why
+
+
+def test_vk_sort_ranks_matches_host_sort():
+    """Device sort ranks == the reference's stable sorted(key=str(vk)) order,
+    including groups with duplicate vks (stability tie-break) and adversarial
+    prefix-render pairs."""
+    from fusion_cryptography_tpu.interop import serial
+
+    params = ftpu.fusion_setup(128, 5)
+    G, N = 6, 5
+    # seeds with a duplicate inside group 0 (identical vk reprs)
+    seeds = [100 + k for k in range(G * N)]
+    seeds[1] = seeds[0]
+    keys = ftpu.keygen(params, seeds)
+    vk_np = keys.vk_np()  # [B, 2, d]
+    reprs = keys.vk_strs()
+
+    ranks = np.asarray(dset.vk_sort_ranks(params, jnp.asarray(vk_np), N))
+    assert ranks.shape == (G, N)
+    for g in range(G):
+        idx = list(range(g * N, (g + 1) * N))
+        idx.sort(key=lambda i: reprs[i])  # Python sort: stable
+        want_order = [i - g * N for i in idx]
+        got_order = list(np.argsort(ranks[g], kind="stable"))
+        assert got_order == want_order, (g, got_order, want_order)
+
+
+def test_number_terminators_cover_vk_spec():
+    from fusion_cryptography_tpu.interop import device_serial as ds
+
+    for secpar in (128, 256):
+        params = ftpu.fusion_setup(secpar, 3)
+        spec = ds.vk_body_spec(params)
+        terms = ds.number_terminators(spec)
+        d = params.degree
+        assert len(terms) == 2 * d
+        # within each poly body: ',' after all but the last value, ']' last
+        assert all(terms[k] == ord(",") for k in range(d - 1))
+        assert terms[d - 1] == ord("]")
+        assert all(terms[d + k] == ord(",") for k in range(d - 1))
+        assert terms[2 * d - 1] == ord("]")
