@@ -185,7 +185,68 @@ def _cyclic_dft(F: Field, n: int, x, stages, inverse: bool):
     return x.reshape(lead + (n,))
 
 
-def make_fourstep_ntt(plan: NTTPlan, mesh: Mesh, axis_name: str = "sp"):
+def fourstep_perm(plan: NTTPlan, S: int) -> np.ndarray:
+    """CLOSED-FORM four-step output permutation (int64[S*S*c], c = ceil(d2/S)).
+
+    ``perm[g]`` is the reference (butterfly, ops/ntt.py) NTT-domain slot whose
+    value the four-step pipeline emits at global output slot ``g``, or -1 for
+    a padding slot (present only when S^2 does not divide d).
+
+    Derivation: with j = j1 + S*j2 and k = k2 + d2*k1, omega^(S*j2*d2*k1) = 1,
+    so the pipeline's local-DFT (frequency k2, emitted in d2-bit-reversed slot
+    order), step-3 twiddle omega^(j1*k2), and step-5 S-point DFT (frequency
+    k1) compose to the size-d cyclic DFT at frequency k = k2 + d2*k1.  Global
+    slot g = b*(S*c) + k1*c + p_off on shard b carries local-DFT slot
+    p = b*c + p_off, i.e. k2 = bitrev_d2(p); the reference transform emits
+    frequency k at slot bitrev_d(k) (cooley_tukey_ntt's bit-reversed output,
+    /root/reference/algebra/ntt.py:216-291).  Verified against the empirical
+    probe recovery in tests/test_distributed_ntt.py.
+    """
+    d = plan.degree
+    if d % S:
+        raise ValueError(f"degree {d} not divisible by {S} shards")
+    d2 = d // S
+    c = -(-d2 // S)
+    brv2 = bit_reverse_indices(d2)
+    brvd = bit_reverse_indices(d)
+    perm = np.full(S * S * c, -1, dtype=np.int64)
+    for b in range(S):
+        for k1 in range(S):
+            for p_off in range(c):
+                p = b * c + p_off
+                if p >= d2:
+                    continue  # padding slot
+                k = int(brv2[p]) + d2 * k1
+                perm[b * (S * c) + k1 * c + p_off] = brvd[k]
+    return perm
+
+
+def _reference_gather_tables(plan: NTTPlan, S: int) -> np.ndarray:
+    """Per-shard local gather emitting REFERENCE NTT-domain order from the
+    four-step output, int32[S, d2] — exists because when S^2 | d the shard
+    that four-step assigns to a k2-class (rev(k2 mod S) chunking) is exactly
+    the shard the reference-sharded layout needs: ref slot i lives on shard
+    i >> log2(d2) = rev_S(k mod S) = rev_S(k2 mod S) (d2*k1 vanishes mod S),
+    which is b by construction.  Local reorder only — zero extra comms."""
+    d = plan.degree
+    d2 = d // S
+    if d2 % S:
+        raise ValueError("reference-order fusion needs S^2 | d")
+    perm = fourstep_perm(plan, S)  # [d], no -1 here
+    tables = np.empty((S, 2, d2), dtype=np.int32)  # [:, 0] emit, [:, 1] undo
+    for b in range(S):
+        local = perm[b * d2 : (b + 1) * d2]  # ref slots of this shard's outputs
+        assert np.all(local // d2 == b), "four-step shard is not ref-pure"
+        fs2ref = (local % d2).astype(np.int32)  # four-step slot r -> ref local
+        ref2fs = np.empty(d2, dtype=np.int32)
+        ref2fs[fs2ref] = np.arange(d2, dtype=np.int32)
+        tables[b, 0] = ref2fs  # out_ref[i] = out_4s[ref2fs[i]]
+        tables[b, 1] = fs2ref  # u_4s[r] = u_ref[fs2ref[r]]
+    return tables
+
+
+def make_fourstep_ntt(plan: NTTPlan, mesh: Mesh, axis_name: str = "sp",
+                      order: str = None):
     """Coefficient-sharded negacyclic NTT via the four-step factorization:
 
       1. scale by psi^j (local; negacyclic -> cyclic reduction),
@@ -195,25 +256,49 @@ def make_fourstep_ntt(plan: NTTPlan, mesh: Mesh, axis_name: str = "sp"):
       4. ONE ``all_to_all`` over ICI exchanging k2-chunks for j1-rows,
       5. local S-point DFT across the gathered j1 axis.
 
-    Output is in "four-step order" — a fixed permutation of NTT-domain slots
-    that ``fourstep_order(plan, S)`` materializes.  NTT-domain pointwise
-    arithmetic is order-agnostic, and the matching ``inv`` undoes the exact
+    Works for ANY power-of-two shard count S dividing d.  When S^2 does not
+    divide d the k2 axis is zero-padded to S*ceil(d2/S) columns before the
+    exchange, so outputs carry interspersed padding slots (see
+    :func:`fourstep_perm`); when S^2 | d there is no padding.
+
+    ``order``:
+      * ``"reference"`` (default when S^2 | d): outputs are in the REFERENCE
+        NTT-domain slot order, shard-aligned — the reference-order gather is
+        fused into the pipeline as a per-shard LOCAL reorder (no extra
+        collective; see :func:`_reference_gather_tables`), so sharded and
+        ops/ntt.py tensors interoperate directly.
+      * ``"fourstep"``: raw four-step slot order; :func:`fourstep_perm` maps
+        slots closed-form (and ``fourstep_order`` still probes it
+        empirically as a cross-check).  The only choice when S^2 does not
+        divide d.
+
+    NTT-domain pointwise arithmetic is order-agnostic as long as both
+    operands use the same order; the matching ``inv`` undoes the exact
     pipeline, so fwd/inv round-trip bitwise and
     ``inv(fwd(f) ⊙ fwd(g)) == negacyclic f·g`` (tests/test_distributed_ntt.py).
 
-    Returns ``(fwd, inv, layout, unlayout)`` where fwd/inv map int32[batch, d] with the
-    trailing axis sharded over ``axis_name``, in the cyclic input layout
+    Returns ``(fwd, inv, layout, unlayout)`` where fwd/inv map int32[batch, d']
+    (d' = S*S*c >= d; equal to d without padding) with the trailing axis
+    sharded over ``axis_name``, in the cyclic input layout
     ``x_cyclic[:, j1*d2 + j2] = x[:, j1 + S*j2]`` (helper ``layout``/``unlayout``
-    convert), and four-step-ordered outputs.
+    convert).
     """
     F = plan.field
     q = plan.modulus
     d = plan.degree
     psi = plan.root
     S = mesh.shape[axis_name]
-    if d % S != 0 or (d // S) % S != 0:
-        raise ValueError(f"degree {d} must be divisible by S^2 for S={S} shards")
+    if d % S != 0:
+        raise ValueError(f"degree {d} must be divisible by S={S} shards")
     d2 = d // S
+    if order is None:
+        order = "reference" if d2 % S == 0 else "fourstep"
+    if order == "reference" and d2 % S:
+        raise ValueError("order='reference' needs S^2 | d (use 'fourstep')")
+    if order not in ("reference", "fourstep"):
+        raise ValueError(f"unknown order {order!r}")
+    c = -(-d2 // S)  # k2-chunk width per shard (padded when S^2 does not divide d)
+    ref_tables = _reference_gather_tables(plan, S) if order == "reference" else None
     omega = pow(psi, 2, q)          # order d
     omega_d1 = pow(omega, S, q)     # order d2: local DFT root
     omega_d2 = pow(omega, d2, q)    # order S: cross-shard DFT root
@@ -268,29 +353,39 @@ def make_fourstep_ntt(plan: NTTPlan, mesh: Mesh, axis_name: str = "sp"):
             inv_tw3[j1, p] = pow(inv_om, j1 * brv2[p], q)
     inv_tw3_sh = np.vectorize(lambda t: F.shoup(int(t)))(inv_tw3).astype(np.uint32)
 
-    def fwd_local(psi_t, psi_s, tw_t, tw_s, x):
+    def fwd_local(psi_t, psi_s, tw_t, tw_s, gather_t, x):
         """x int32[B, d2]: this device's cyclic residue class."""
         B = x.shape[0]
         u = F.to_unsigned(x)
         u = F.mul_mod_shoup(u, psi_t, psi_s)                       # step 1
         u = _cyclic_dft(F, d2, u, fwd_stages, inverse=False)       # step 2
         u = F.mul_mod_shoup(u, tw_t, tw_s)                         # step 3
-        u = u.reshape(B, S, d2 // S)
+        if S * c > d2:  # S^2 does not divide d: zero-pad the k2 axis
+            u = jnp.pad(u, ((0, 0), (0, S * c - d2)))
+        u = u.reshape(B, S, c)
         u = jax.lax.all_to_all(u, axis_name, 1, 1)                 # step 4 (ICI)
         # step 5: S-point DFT over the gathered j1 axis (tiny dense contraction)
         mm = F.to_mont(jnp.asarray(m_f))                           # [S_out, S_in]
         prod = F.mont_mul(mm[None, :, :, None], u[:, None, :, :])  # [B, S_out, S_in, c]
         out = F.sum_mod(prod, axis=2)                              # [B, S_out, c]
-        return F.to_centered(out.reshape(B, S * (d2 // S)))
+        out = out.reshape(B, S * c)
+        if gather_t is not None:
+            # fused reference-order emit: per-shard LOCAL static reorder
+            out = jnp.take(out, gather_t[0, 0], axis=-1)
+        return F.to_centered(out)
 
-    def inv_local(psi_t, psi_s, tw_t, tw_s, y):
+    def inv_local(psi_t, psi_s, tw_t, tw_s, gather_t, y):
         B = y.shape[0]
-        u = F.to_unsigned(y).reshape(B, S, d2 // S)
+        u = F.to_unsigned(y)
+        if gather_t is not None:
+            # undo the reference-order emit: back to four-step slot order
+            u = jnp.take(u, gather_t[0, 1], axis=-1)
+        u = u.reshape(B, S, c)
         mm = F.to_mont(jnp.asarray(m_i))
         prod = F.mont_mul(mm[None, :, :, None], u[:, None, :, :])
         u = F.sum_mod(prod, axis=2)                                # undo step 5 (+1/S)
         u = jax.lax.all_to_all(u, axis_name, 1, 1)                 # undo step 4
-        u = u.reshape(B, d2)
+        u = u.reshape(B, S * c)[:, :d2]                            # drop k2 padding
         u = F.mul_mod_shoup(u, tw_t, tw_s)                         # undo step 3
         u = _cyclic_dft(F, d2, u, inv_stages, inverse=True)        # undo step 2
         u = F.mul_mod_shoup(
@@ -299,20 +394,26 @@ def make_fourstep_ntt(plan: NTTPlan, mesh: Mesh, axis_name: str = "sp"):
         u = F.mul_mod_shoup(u, psi_t, psi_s)                       # undo step 1
         return F.to_centered(u)
 
+    tbl_specs = () if ref_tables is None else (P(axis_name, None, None),)
+    if ref_tables is None:
+        _fwd_fn = lambda pt, ps, tt, ts, x: fwd_local(pt, ps, tt, ts, None, x)  # noqa: E731
+        _inv_fn = lambda pt, ps, tt, ts, y: inv_local(pt, ps, tt, ts, None, y)  # noqa: E731
+    else:
+        _fwd_fn, _inv_fn = fwd_local, inv_local
     fwd_sm = jax.jit(
         jax.shard_map(
-            fwd_local, mesh=mesh,
+            _fwd_fn, mesh=mesh,
             in_specs=(P(axis_name, None), P(axis_name, None), P(axis_name, None),
-                      P(axis_name, None), P(None, axis_name)),
+                      P(axis_name, None)) + tbl_specs + (P(None, axis_name),),
             out_specs=P(None, axis_name),
             check_vma=False,
         )
     )
     inv_sm = jax.jit(
         jax.shard_map(
-            inv_local, mesh=mesh,
+            _inv_fn, mesh=mesh,
             in_specs=(P(axis_name, None), P(axis_name, None), P(axis_name, None),
-                      P(axis_name, None), P(None, axis_name)),
+                      P(axis_name, None)) + tbl_specs + (P(None, axis_name),),
             out_specs=P(None, axis_name),
             check_vma=False,
         )
@@ -326,12 +427,16 @@ def make_fourstep_ntt(plan: NTTPlan, mesh: Mesh, axis_name: str = "sp"):
     ipsi_s = jnp.asarray(inv_psi_sh)
     itw_t = jnp.asarray(inv_tw3)
     itw_s = jnp.asarray(inv_tw3_sh)
+    tbl_args = () if ref_tables is None else (jnp.asarray(ref_tables),)
 
     def fwd(x_cyclic):
-        return fwd_sm(psi_t, psi_s, tw_t, tw_s, x_cyclic)
+        return fwd_sm(psi_t, psi_s, tw_t, tw_s, *tbl_args, x_cyclic)
 
     def inv(y):
-        return inv_sm(ipsi_t, ipsi_s, itw_t, itw_s, y)
+        return inv_sm(ipsi_t, ipsi_s, itw_t, itw_s, *tbl_args, y)
+
+    fwd.order = inv.order = order
+    fwd.out_width = inv.out_width = S * S * c  # == d when S^2 | d
 
     def layout(x):
         """Natural coefficient order int32[B, d] -> the cyclic shard layout."""
