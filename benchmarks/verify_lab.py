@@ -86,6 +86,16 @@ def main():
     print(f"chunk={args.chunk}: {G} verifies in {dt:.3f}s -> {G/dt:,.0f}/s "
           f"({dt/G*1e6:.1f} us/group; reps {[f'{t:.3f}' for t in times]})",
           flush=True)
+    # steady-state: R back-to-back calls, one sync at the end (call k+1's host
+    # prep overlaps call k's device tail)
+    R = args.reps
+    t0 = time.time()
+    eqs = [run() for _ in range(R)]
+    for e in eqs:
+        assert np.asarray(e).all()
+    dt = time.time() - t0
+    print(f"steady-state x{R}: {R*G/dt:,.0f}/s ({dt/(R*G)*1e6:.1f} us/group)",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -275,13 +275,21 @@ def shake256_absorb_lanes(buf, lens) -> Lanes:
     return _absorb_blocks(blocks, n_blocks, buf.shape[0])
 
 
-def _absorb_blocks(blocks, n_blocks, B: int) -> Lanes:
-    """Masked sponge over pre-built rate blocks [max_blocks, 17, 2, B]."""
-    zero = jnp.zeros((B,), _U32)
-    state0 = tuple((zero, zero) for _ in range(25))
+def _absorb_blocks(blocks, n_blocks, B: int, min_blocks: int = 0) -> Lanes:
+    """Masked sponge over pre-built rate blocks [max_blocks, 17, 2, B].
 
-    def step(carry, block):
-        state, j = carry
+    ``min_blocks``: statically-known lower bound on every lane's block count
+    (e.g. floor(min_payload_len / RATE) from a preimage spec's minimum
+    length).  The first ``min_blocks`` blocks absorb WITHOUT the per-lane
+    liveness merge (50 selects per block) — for near-uniform ragged payloads
+    that is ~95% of the blocks.
+    """
+    zero = jnp.zeros((B,), _U32)
+    state = tuple((zero, zero) for _ in range(25))
+    mb = blocks.shape[0]
+    min_blocks = max(0, min(min_blocks, mb))
+
+    def absorb_one(state, block):
         absorbed = tuple(
             (
                 (state[l][0] ^ block[l, 0], state[l][1] ^ block[l, 1])
@@ -290,7 +298,19 @@ def _absorb_blocks(blocks, n_blocks, B: int) -> Lanes:
             )
             for l in range(25)
         )
-        nxt = keccak_f_lanes(absorbed)
+        return keccak_f_lanes(absorbed)
+
+    if min_blocks > 0:
+        def step_live(state, block):
+            return absorb_one(state, block), None
+
+        state, _ = jax.lax.scan(step_live, state, blocks[:min_blocks])
+        if min_blocks == mb:
+            return state
+
+    def step(carry, block):
+        state, j = carry
+        nxt = absorb_one(state, block)
         live = j < n_blocks  # [B]
         merged = tuple(
             (jnp.where(live, nxt[l][0], state[l][0]), jnp.where(live, nxt[l][1], state[l][1]))
@@ -298,7 +318,9 @@ def _absorb_blocks(blocks, n_blocks, B: int) -> Lanes:
         )
         return (merged, j + 1), None
 
-    (state, _), _ = jax.lax.scan(step, (state0, jnp.int32(0)), blocks)
+    (state, _), _ = jax.lax.scan(
+        step, (state, jnp.int32(min_blocks)), blocks[min_blocks:]
+    )
     return state
 
 
@@ -307,13 +329,17 @@ def shake256_absorb(buf, lens):
     return _from_lanes(shake256_absorb_lanes(buf, lens))
 
 
-def _payload_words_to_blocks(words, lens, pad_head: int = 0x1F):
+def _payload_words_to_blocks(words, lens, pad_head: int = 0x1F,
+                             assume_clean: bool = False):
     """Packed-word payloads -> masked+padded rate blocks, zero repacking.
 
     words: uint32[max_blocks*RATE_WORDS, B] little-endian packed payload
     (ops/ragged_words layout — byte j at bits 8*(j%4) of word j//4), scratch
     bytes beyond ``lens`` may be nonzero; lens: int[B] in BYTES.
     ``pad_head`` is the multi-rate domain byte: 0x1F for SHAKE, 0x06 for SHA3.
+    ``assume_clean``: the caller guarantees bytes at or beyond ``lens`` are
+    already ZERO (the WChunk normal-form invariant of ops/ragged_words), so
+    the tail mask pass over the whole buffer is skipped.
     Returns ([max_blocks, RATE_LANES, 2, B] uint32 blocks, int32[B] counts).
     """
     total_w, B = words.shape
@@ -324,13 +350,16 @@ def _payload_words_to_blocks(words, lens, pad_head: int = 0x1F):
     max_blocks = total_w // RATE_WORDS
     lens = lens.astype(jnp.int32)
     wi = jax.lax.broadcasted_iota(jnp.int32, (total_w, B), 0)
-    keep = jnp.clip(lens[None, :] - 4 * wi, 0, 4)
-    mask = jnp.where(
-        keep >= 4,
-        np.uint32(0xFFFFFFFF),
-        (np.uint32(1) << (np.uint32(8) * keep.astype(_U32))) - np.uint32(1),
-    )
-    data = words & mask
+    if assume_clean:
+        data = words
+    else:
+        keep = jnp.clip(lens[None, :] - 4 * wi, 0, 4)
+        mask = jnp.where(
+            keep >= 4,
+            np.uint32(0xFFFFFFFF),
+            (np.uint32(1) << (np.uint32(8) * keep.astype(_U32))) - np.uint32(1),
+        )
+        data = words & mask
     # multi-rate padding: the domain byte at byte ``lens``, 0x80 at the last
     # block byte (they OR together when they coincide)
     n_blocks = lens // RATE + 1
@@ -343,12 +372,21 @@ def _payload_words_to_blocks(words, lens, pad_head: int = 0x1F):
     return data.reshape(max_blocks, RATE_LANES, 2, B), n_blocks
 
 
-def shake256_absorb_words(words, lens) -> Lanes:
+def shake256_absorb_words(words, lens, min_len: int = 0,
+                          assume_clean: bool = False) -> Lanes:
     """Absorb packed-word payloads (uint32[max_blocks*34, B], lens in bytes);
     returns post-absorb lane-tuple states.  Bit-exact twin of the byte-buffer
-    absorbs for the same logical payload."""
-    blocks, n_blocks = _payload_words_to_blocks(jnp.asarray(words, _U32), jnp.asarray(lens))
-    return _absorb_blocks(blocks, n_blocks, words.shape[-1])
+    absorbs for the same logical payload.
+
+    ``min_len``: static lower bound on every lane's byte length — enables the
+    unmasked fast path for the first floor(min_len/RATE) blocks.
+    ``assume_clean``: caller guarantees zeroed scratch beyond ``lens`` (the
+    assembler invariant), skipping the whole-buffer tail mask.
+    """
+    blocks, n_blocks = _payload_words_to_blocks(
+        jnp.asarray(words, _U32), jnp.asarray(lens), assume_clean=assume_clean
+    )
+    return _absorb_blocks(blocks, n_blocks, words.shape[-1], min_blocks=min_len // RATE)
 
 
 def sha3_256_words(words, lens):

@@ -204,14 +204,18 @@ def shift_left_w(buf, s, max_s: int):
 def merge_w(a: WChunk, b: WChunk) -> WChunk:
     """Concatenate two word-chunk batches: result[i] = a[i] ++ b[i].
 
-    Places ``b`` at byte offset ``a.max_len`` (static word offset + static
-    sub-word rotation), then barrel-shifts it left by the dynamic slack
-    ``a.max_len - a.length`` and ORs onto ``a``.
+    NARROW barrel: ``b``'s final byte position is ``a.length`` which lies in
+    ``[a.min_len, a.max_len]``, so the dynamic shift only ever moves content
+    within a window of ``slack + b.max_len`` bytes starting at byte
+    ``a.min_len``.  b is therefore rotated/placed inside that narrow window
+    (byte q0 = a.min_len%4 + slack, whose sub-word phase equals a.max_len's),
+    barrel-shifted there, and only then statically padded out to the full
+    output width — the barrel never touches the ``a.min_len // 4`` guaranteed
+    words, which for const-heavy chunks is most of the buffer.
     """
     W = a.max_len + b.max_len
     Ww = words_for(W)
-    lead = a.max_len
-    lw, lr = lead // 4, lead % 4
+    slack = a.max_len - a.min_len
     # a: already at byte 0; pad to Ww words
     pa = a.buf
     if pa.shape[-2] < Ww:
@@ -220,7 +224,12 @@ def merge_w(a: WChunk, b: WChunk) -> WChunk:
         pa = jnp.pad(pa, spec)
     else:
         pa = pa[..., :Ww, :]
-    # b: static sub-word rotation by lr, then place at word lw
+    # b inside the narrow window: rotate to q0's sub-word phase, place at
+    # word q0//4 of an (Ww - base_w)-word buffer
+    base_w = a.min_len // 4
+    nw = Ww - base_w
+    q0 = (a.min_len % 4) + slack
+    lr = q0 % 4  # == a.max_len % 4
     pb = b.buf
     need = words_for(b.max_len + lr)
     if pb.shape[-2] < need:
@@ -229,9 +238,13 @@ def merge_w(a: WChunk, b: WChunk) -> WChunk:
         pb = jnp.pad(pb, spec)
     pb = shift_right_w_static(pb, lr)
     spec = [(0, 0)] * pb.ndim
-    spec[-2] = (lw, max(0, Ww - lw - pb.shape[-2]))
-    pb = jnp.pad(pb, spec)[..., :Ww, :]
-    pb = shift_left_w(pb, a.max_len - a.length, a.max_len - a.min_len)
+    spec[-2] = (q0 // 4, max(0, nw - q0 // 4 - pb.shape[-2]))
+    pb = jnp.pad(pb, spec)[..., :nw, :]
+    pb = shift_left_w(pb, a.max_len - a.length, slack)
+    if base_w:
+        spec = [(0, 0)] * pb.ndim
+        spec[-2] = (base_w, 0)
+        pb = jnp.pad(pb, spec)
     return WChunk(
         buf=pa | pb,
         length=a.length + b.length,

@@ -34,7 +34,7 @@ execution because dispatch is asynchronous.
 """
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 from math import ceil, log2
 from typing import Sequence, Tuple
 
@@ -173,6 +173,7 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool,
     N = n_signers
     ch_spec, tri_spec = g["ch_spec"], g["tri_spec"]
     agg_spec = ds.agg_preimage_spec(params, N, tri_spec.out_max)
+    agg_min = ds.spec_min_total(agg_spec, [g["tri_min"]] * N)
     pre_bounds = [(1, ds.PREHASH_W)]
     tri_bounds = [(g["tri_min"], tri_spec.out_max)] * N
     if use_words is None:
@@ -222,7 +223,10 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool,
             params, vk_chunk, pre_chunk, pad_words=_pad_rate_words(ch_spec.out_max)
         )
         xw = shake256_squeeze_words(
-            shake256_absorb_words(wbuf, total), -(-g["n_xof_ch_used"] // 4)
+            shake256_absorb_words(
+                wbuf, total, min_len=g["ch_min"], assume_clean=True
+            ),
+            -(-g["n_xof_ch_used"] // 4),
         )
         cc_t = xof_decode.decode_coeffs_w(xw, g["geom_ch"], g["n_xof_ch_used"])  # [d, B]
         cc = cc_t.T
@@ -304,7 +308,9 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool,
                 pad_words=_pad_rate_words(agg_spec.out_max),
             )
             blob_w = shake256_squeeze_words(
-                shake256_absorb_words(wbuf, total),
+                shake256_absorb_words(
+                    wbuf, total, min_len=agg_min, assume_clean=True
+                ),
                 -(-(N * g["block_ag"]) // 4),
             )  # [ceil(N*block/4), G]
             per_w = xof_decode.split_streams_w(blob_w, N, g["block_ag"])
@@ -364,6 +370,7 @@ def _geometries(params: Params):
         ch_spec=ch_spec,
         tri_spec=tri_spec,
         tri_min=ds.spec_min_total(tri_spec, [1]),
+        ch_min=ds.spec_min_total(ch_spec, [1]),
         n_xof_ch=n_xof_ch,
         # the decoder never reads the stream tail (see consumed_bytes):
         # squeezing only the consumed prefix is bit-exact and saves ~20% of
@@ -484,11 +491,52 @@ def _pipeline_cached(params: Params, n_signers: int, use_pallas: bool,
             return msg_preimage_words(params, msgs_slice)
         return prehash_digits(params, msgs_slice)
 
+    def prep_packed(msgs_slice):
+        """One-array host prep: message preimage words with the byte lengths
+        appended as a final u32 column — ONE host->device transfer per chunk
+        (each device_put costs a tunnel round trip; see PERFORMANCE.md)."""
+        if not device_prehash:
+            raise RuntimeError("packed prep needs the device-prehash word path")
+        pb, pl = msg_preimage_words(params, msgs_slice)
+        return np.concatenate([pb, pl.astype("<u4")[:, None]], axis=1)
+
+    # Launch-diet entry points: full device-resident tensors in, chunk index
+    # baked STATICALLY (one small executable per chunk offset, compiled once
+    # and cached) — no eager device-array slicing, which costs one ~1 ms
+    # tunnel launch per slice.
+    if device_prehash:
+        @partial(jax.jit, static_argnums=(2, 3))
+        def j_prep_at(vks_full, packed, lo, size):
+            vkc = vks_full[lo : lo + size]
+            mw = packed[:, :, :-1]
+            ml = packed[:, :, -1].astype(_I32)
+            return (vkc.reshape(-1, 2 * d).T,) + signer_stage.prehash(
+                mw.reshape(ml.size, -1).T, ml.reshape(-1)
+            )
+
+        def signer_at(vks_full, packed, lo, size):
+            """packed: device u32[size, N, Wt+1] (prep_packed upload)."""
+            return _j_core(*j_prep_at(vks_full, packed, lo, size))
+    else:
+        signer_at = None
+
+    @partial(jax.jit, static_argnums=(4, 5, 6))
+    def lattice_at(vks_full, c_hat_u, al_window, aggs_full, lo, size, wlo):
+        return j_lattice(
+            vks_full[lo : lo + size],
+            c_hat_u,
+            jax.lax.slice_in_dim(al_window, lo - wlo, lo - wlo + size, axis=0),
+            aggs_full[lo : lo + size],
+        )
+
     return SimpleNamespace(
         signer=j_signer,
+        signer_at=signer_at,
         group=j_group,
         lattice=j_lattice,
+        lattice_at=lattice_at,
         prep=prep,
+        prep_packed=prep_packed,
         device_prehash=device_prehash,
         n_signers=N,
     )
@@ -602,12 +650,21 @@ def _verify_windows(params, P, vks, messages, aggs, group_chunk, group_hash_chun
         raise ValueError(f"need {G * N} messages, got {len(msgs)}")
     group_hash_chunk = max(group_chunk, (group_hash_chunk // group_chunk) * group_chunk)
     chunks = _launch_chunks(G, group_chunk)
+    packed_path = P.signer_at is not None
     sparts = []
     for lo, hi in chunks:
-        pb, pl = P.prep(msgs[lo * N : hi * N])
-        pb = jnp.asarray(pb.reshape(hi - lo, N, -1))
-        pl = jnp.asarray(pl.reshape(hi - lo, N))
-        sparts.append(P.signer(vks[lo:hi], pb, pl))
+        if packed_path:
+            # ONE upload + two launches per chunk; vks sliced at a static
+            # offset inside the producer jit (no eager device slicing)
+            packed = jnp.asarray(
+                P.prep_packed(msgs[lo * N : hi * N]).reshape(hi - lo, N, -1)
+            )
+            sparts.append(P.signer_at(vks, packed, lo, hi - lo))
+        else:
+            pb, pl = P.prep(msgs[lo * N : hi * N])
+            pb = jnp.asarray(pb.reshape(hi - lo, N, -1))
+            pl = jnp.asarray(pl.reshape(hi - lo, N))
+            sparts.append(P.signer(vks[lo:hi], pb, pl))
     outs = []
     alphas = []
     for wlo, whi in _launch_chunks(G, group_hash_chunk):
@@ -624,7 +681,7 @@ def _verify_windows(params, P, vks, messages, aggs, group_chunk, group_hash_chun
         for i in idx:
             lo, hi = chunks[i]
             outs.append(
-                P.lattice(vks[lo:hi], sparts[i][1], al[lo - wlo : hi - wlo], aggs[lo:hi])
+                P.lattice_at(vks, sparts[i][1], al, aggs, lo, hi - lo, wlo)
             )
     if len(outs) == 1:
         eq, norm_ok, weight_ok = outs[0]
