@@ -84,7 +84,9 @@ def main():
     def f_lattice(c):
         (a,) = c
         eq, nk, wk = P.lattice(vks, ch0, al, a)
-        return (a + eq[0].astype(jnp.int32),)
+        # consume ALL outputs so the INTT/norm path is not dead-code-eliminated
+        bump = (eq[0] ^ nk[0] ^ wk[0]).astype(jnp.int32)
+        return (a + bump,)
 
     per = rate(f_lattice, (aggs,), label="lattice stage total")
     print(f"  -> {per/G*1e6:.2f} us/group")
@@ -108,6 +110,15 @@ def main():
         return (a + (norm[0] & 1).astype(jnp.uint32),)
 
     per = rate(f_norm, (agg_u,), label="norm/weight checks")
+    print(f"  -> {per/G*1e6:.2f} us/group")
+
+    from fusion_cryptography_tpu.ops.ntt import ntt_inv_u_mxu
+
+    def f_intt_mxu(c):
+        (a,) = c
+        return (ntt_inv_u_mxu(plan, a),)
+
+    per = rate(f_intt_mxu, (agg_u,), label=f"INTT via MXU limbs")
     print(f"  -> {per/G*1e6:.2f} us/group")
 
     def f_fwd_ntt(c):

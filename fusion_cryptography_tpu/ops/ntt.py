@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from functools import lru_cache
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -151,6 +152,104 @@ def ntt_inv_u(plan: NTTPlan, x):
     return F.mul_mod_shoup(
         x, jnp.asarray(np.uint32(plan.n_inv)), jnp.asarray(np.uint32(plan.n_inv_shoup))
     )
+
+
+# ---------------------------------------------------------------------------
+# MXU inverse transform: exact bf16 limb matmuls
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _intt_mxu_tables(plan: NTTPlan):
+    """Inverse-transform matrix as MXU-ready bf16 limb planes.
+
+    coef[j] = sum_i W[j, i] * ntt[i] mod q with
+    W[j, i] = d^-1 * inv_psi^((2*bitrev(i)+1) * j) — the dense form of the
+    Gentleman-Sande INTT including its final n^-1 scale (reference
+    /root/reference/algebra/ntt.py:294-377 semantics, bit-reversed input
+    order).  Each input limb b gets its own PRE-FOLDED matrix
+    W_b = W * 2^(8b) mod q, split into four 8-bit limb planes a, so the
+    device-side fold is only sum_a 2^(8a) * P_a mod q — 4 modular
+    constant-multiplies per element instead of one per (a, b) pair.
+
+    Exactness: bf16 holds integers < 2^8 exactly; each MXU product is a full
+    f32 (<= 16-bit) value and the f32 accumulation of d <= 256 terms stays
+    below 2^24, so every partial sum is an exact integer.
+    """
+    q, d = plan.modulus, plan.degree
+    if d > 256:
+        raise NotImplementedError(
+            "bf16 limb accumulation needs d * 255^2 < 2^24 (d <= 256)"
+        )
+    idx = bit_reverse_indices(d)
+    inv_psi = plan.inv_root
+    d_inv = pow(d, q - 2, q)
+    W = np.empty((d, d), dtype=np.uint64)
+    for i in range(d):
+        e = 2 * int(idx[i]) + 1
+        inv_base = pow(inv_psi, e, q)
+        col = d_inv
+        for j in range(d):
+            W[j, i] = col
+            col = col * inv_base % q
+    planes = np.empty((4, 4, d, d), dtype=np.float32)  # [a, b, j, i]
+    for b in range(4):
+        Wb = (W * pow(2, 8 * b, q)) % q
+        for a in range(4):
+            planes[a, b] = ((Wb >> (8 * a)) & 0xFF).astype(np.float32)
+    F = plan.field
+    fold = np.array([pow(2, 8 * a, q) for a in range(4)], dtype=np.uint32)
+    fold_sh = np.array([F.shoup(int(c)) for c in fold], dtype=np.uint32)
+    import ml_dtypes
+
+    # Single-dot layout: limbs ride the CONTRACTION axis (X [M, 4d] bf16
+    # against W_cat [4d_in, 4d_out]), so the MXU sees one big matmul and the
+    # limb planes are materialized once, not 16 times (the 16-dot form is
+    # HBM-bound on operand materialization — measured 12.2 ms vs 8.5 for the
+    # butterfly sweep at [170k, 256]).
+    # W_cat[(b*d + i), (a*d + j)] = limb a of (W[j, i] * 2^(8b) mod q)
+    Wcat = np.empty((4 * d, 4 * d), dtype=np.float32)
+    for b in range(4):
+        for a in range(4):
+            Wcat[b * d : (b + 1) * d, a * d : (a + 1) * d] = planes[a, b].T
+    # numpy bf16 (ml_dtypes): converting INSIDE a trace would cache tracers
+    return Wcat.astype(ml_dtypes.bfloat16), fold, fold_sh
+
+
+def ntt_inv_u_mxu(plan: NTTPlan, x):
+    """MXU inverse negacyclic NTT on unsigned residues — bit-exact twin of
+    :func:`ntt_inv_u` computed as one exact bf16 limb matmul + a 4-term
+    modular fold.
+
+    MEASURED NEGATIVE RESULT on v5e at [2048*83, 256] (stage_lab): 11.2 ms vs
+    8.5 ms for the O(d log d) butterfly sweep — the dense form's operand
+    materialization and f32 output traffic eat the MXU's FLOP advantage at
+    d=256.  Kept (tested, bit-exact) as the candidate for larger-d parameter
+    sets or TPU generations with faster int-to-bf16 conversion paths; the
+    production lattice stage uses ntt_inv_u."""
+    F = plan.field
+    d = plan.degree
+    Wcat, fold, fold_sh = _intt_mxu_tables(plan)
+    shape = x.shape
+    xm = x.reshape(-1, d)
+    # limbs along the contraction axis: X [M, 4d] bf16, one dot, one output
+    xl = jnp.concatenate(
+        [((xm >> np.uint32(8 * b)) & np.uint32(0xFF)).astype(jnp.bfloat16)
+         for b in range(4)],
+        axis=1,
+    )
+    t = jax.lax.dot_general(
+        xl, jnp.asarray(Wcat), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [M, 4d]: column block a = P_a, exact integer f32 (< 4 * 2^24)
+    acc = None
+    for a in range(4):
+        p_u = t[:, a * d : (a + 1) * d].astype(jnp.uint32)
+        term = F.mul_mod_shoup(
+            p_u, jnp.asarray(np.uint32(fold[a])), jnp.asarray(np.uint32(fold_sh[a]))
+        )
+        acc = term if acc is None else F.add_mod(acc, term)
+    return acc.reshape(shape)
 
 
 @lru_cache(maxsize=None)

@@ -481,7 +481,10 @@ def _pipeline_cached(params: Params, n_signers: int, use_pallas: bool,
         coef = F.to_centered(ntt_inv_u(plan, agg_u))  # [G, rank, d]
         norm = jnp.max(jnp.abs(coef), axis=(-2, -1))
         norm_ok = norm <= np.int32(min(params.beta_vf, 2**31 - 1))
-        weight = jnp.max(jnp.sum((coef % np.int32(params.modulus)) != 0, axis=-1), axis=-1)
+        # centered coefficients satisfy |coef| <= q//2 < q, so
+        # coef % q != 0  <=>  coef != 0 (no 43M-element division needed);
+        # reference semantics: fusion.py:726-727 weight over centered values
+        weight = jnp.max(jnp.sum((coef != 0).astype(_I32), axis=-1), axis=-1)
         weight_ok = weight <= np.int32(params.omega_vf)
         return eq, norm_ok, weight_ok
 

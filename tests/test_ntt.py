@@ -164,3 +164,20 @@ def test_linearity_and_pointwise_homomorphism():
     pointwise = F.to_centered(F.mont_mul(F.to_mont(fa), fb))
     direct = ntt_fwd(plan, jnp.asarray(np.array(schoolbook_negacyclic(a.tolist(), b.tolist(), q), dtype=np.int32)))
     np.testing.assert_array_equal(np.asarray(pointwise), np.asarray(direct))
+
+
+def test_ntt_inv_mxu_matches_butterfly():
+    """The MXU limb-matmul inverse transform (kept as a documented
+    alternative; see its docstring) is a bit-exact twin of ntt_inv_u."""
+    import jax.numpy as jnp
+
+    from fusion_cryptography_tpu.ops.ntt import make_plan, ntt_inv_u, ntt_inv_u_mxu
+
+    Q = F.Q
+    for d, root in [(256, 3337519), (64, 23584283)]:
+        plan = make_plan(Q, d, root)
+        rng = np.random.default_rng(d)
+        x = rng.integers(0, Q, size=(9, 7, d), dtype=np.int64).astype(np.uint32)
+        a = np.asarray(ntt_inv_u(plan, jnp.asarray(x)))
+        b = np.asarray(ntt_inv_u_mxu(plan, jnp.asarray(x)))
+        assert np.array_equal(a, b)
