@@ -122,11 +122,46 @@ def make_plan(modulus: int = Q, degree: int = 256, root: Optional[int] = None) -
 
 def ntt_fwd_u(plan: NTTPlan, x):
     """Forward negacyclic NTT on unsigned residues, trailing axis = coefficients
-    (standard order in, bit-reversed order out, like algebra/ntt.py:216)."""
+    (standard order in, bit-reversed order out, like algebra/ntt.py:216).
+
+    Consecutive radix-2 stage PAIRS are algebraically fused into one radix-4
+    pass: the stage sweeps are HBM-materialization-bound, not multiply-bound
+    (u32 multiplies are 16-bit-emulated but still ~6x cheaper than a stage's
+    buffer round trip), so halving the number of whole-tensor passes nearly
+    halves the transform's wall time.  Butterfly algebra and twiddle order
+    are IDENTICAL to the radix-2 sweep — outputs are bit-equal.
+    """
     F = plan.field
     shape = x.shape
     lead = shape[:-1]
-    for m, t, s, sh in plan.fwd_stages:
+    stages = plan.fwd_stages
+    k = 0
+    while k + 1 < len(stages):
+        m, t, s, sh = stages[k]
+        _, t2, s2, sh2 = stages[k + 1]  # 2m blocks, t/2 span
+        x = x.reshape(lead + (m, 2, 2, t2))  # [j, uv_k, pair_k1, t2]
+        u0, u1 = x[..., 0, 0, :], x[..., 0, 1, :]
+        v0, v1 = x[..., 1, 0, :], x[..., 1, 1, :]
+        sj, shj = jnp.asarray(s), jnp.asarray(sh)  # [m, 1]
+        m0 = F.mul_mod_shoup(v0, sj, shj)
+        m1 = F.mul_mod_shoup(v1, sj, shj)
+        y00, y01 = F.add_mod(u0, m0), F.add_mod(u1, m1)
+        y10, y11 = F.sub_mod(u0, m0), F.sub_mod(u1, m1)
+        sA, shA = jnp.asarray(s2[0::2]), jnp.asarray(sh2[0::2])  # block 2j
+        sB, shB = jnp.asarray(s2[1::2]), jnp.asarray(sh2[1::2])  # block 2j+1
+        t0 = F.mul_mod_shoup(y01, sA, shA)
+        t1 = F.mul_mod_shoup(y11, sB, shB)
+        z = jnp.stack(
+            [
+                jnp.stack([F.add_mod(y00, t0), F.sub_mod(y00, t0)], axis=-2),
+                jnp.stack([F.add_mod(y10, t1), F.sub_mod(y10, t1)], axis=-2),
+            ],
+            axis=-3,
+        )  # [j, pair_k1, uv_k1, t2]
+        x = z
+        k += 2
+    if k < len(stages):
+        m, t, s, sh = stages[k]
         x = x.reshape(lead + (m, 2, t))
         u = x[..., 0, :]
         v = F.mul_mod_shoup(x[..., 1, :], jnp.asarray(s), jnp.asarray(sh))
@@ -136,11 +171,43 @@ def ntt_fwd_u(plan: NTTPlan, x):
 
 def ntt_inv_u(plan: NTTPlan, x):
     """Inverse negacyclic NTT on unsigned residues (bit-reversed order in,
-    standard order out, with the final n^-1 scale, like algebra/ntt.py:294)."""
+    standard order out, with the final n^-1 scale, like algebra/ntt.py:294).
+    Radix-4 fused stage pairs — see :func:`ntt_fwd_u`."""
     F = plan.field
     shape = x.shape
     lead = shape[:-1]
-    for h, t, s, sh in plan.inv_stages:
+    stages = plan.inv_stages
+    k = 0
+    while k + 1 < len(stages):
+        h, t, s, sh = stages[k]
+        h2, t2, s2, sh2 = stages[k + 1]  # h/2 blocks, 2t span
+        x = x.reshape(lead + (h2, 2, 2, t))  # [jB, p(block 2jB+p), uv_k, t]
+        a, b = x[..., 0, 0, :], x[..., 0, 1, :]
+        c, e = x[..., 1, 0, :], x[..., 1, 1, :]
+        s0, sh0 = jnp.asarray(s[0::2]), jnp.asarray(sh[0::2])  # block 2jB
+        s1, sh1 = jnp.asarray(s[1::2]), jnp.asarray(sh[1::2])  # block 2jB+1
+        y00 = F.add_mod(a, b)
+        y01 = F.mul_mod_shoup(F.sub_mod(a, b), s0, sh0)
+        y10 = F.add_mod(c, e)
+        y11 = F.mul_mod_shoup(F.sub_mod(c, e), s1, sh1)
+        sB, shB = jnp.asarray(s2), jnp.asarray(sh2)  # [h2, 1]
+        z = jnp.stack(
+            [
+                jnp.stack([F.add_mod(y00, y10), F.add_mod(y01, y11)], axis=-2),
+                jnp.stack(
+                    [
+                        F.mul_mod_shoup(F.sub_mod(y00, y10), sB, shB),
+                        F.mul_mod_shoup(F.sub_mod(y01, y11), sB, shB),
+                    ],
+                    axis=-2,
+                ),
+            ],
+            axis=-3,
+        )  # [jB, uv_k1, p, t]
+        x = z
+        k += 2
+    if k < len(stages):
+        h, t, s, sh = stages[k]
         x = x.reshape(lead + (h, 2, t))
         u = x[..., 0, :]
         v = x[..., 1, :]

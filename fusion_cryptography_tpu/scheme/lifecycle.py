@@ -511,75 +511,113 @@ def verify(
 def verify_many(
     params: Params,
     groups: Sequence[Tuple[np.ndarray, Sequence[str], jnp.ndarray]],
+    *,
+    device_bucket_threshold: int = 64,
 ) -> List[Tuple[bool, str]]:
     """Verify many independent aggregate signatures, possibly with different
-    signer counts, in one device launch.
+    signer counts, with vectorized packing.
 
     ``groups`` is a sequence of (vks int32[N_i, 2, d], messages, agg
-    int32[rank, d]).  Groups are bucketed by N for the hash pipeline, then
-    zero-padded to max N for a single verify_batch call (zero alpha rows
-    contribute nothing to the target sum, so padding is exact).
+    int32[rank, d]).  Groups are bucketed by N; each bucket's sort-by-str(vk)
+    order comes from the ON-DEVICE rank kernel (device_setup.vk_sort_ranks —
+    no host repr rendering), ordering is applied with one take_along_axis per
+    bucket, and then:
+
+    * buckets with >= ``device_bucket_threshold`` groups run through the
+      all-on-device hash pipeline (device_pipeline.verify_batch_device) —
+      zero host hashing;
+    * smaller buckets render reprs only for themselves, derive challenges and
+      alphas on the host pipeline, and share ONE padded verify_core launch
+      (zero alpha rows contribute nothing to the target sum, so padding to
+      the common max N is exact).
     """
+    from . import device_pipeline as dp
+    from .device_setup import vk_sort_ranks
+
     G = len(groups)
+    d, rank = params.degree, params.rank
     results: List[Optional[Tuple[bool, str]]] = [None] * G
+    data: dict = {}
     live: List[int] = []
-    sorted_data: dict = {}
     for gi, (vks, messages, agg) in enumerate(groups):
-        N = int(np.asarray(vks).shape[0])
+        vk_np = np.asarray(vks)
+        N = int(vk_np.shape[0])
         if N > params.capacity:
             results[gi] = (False, REASON_TOO_MANY)
             continue
         if N != len(messages):
             results[gi] = (False, REASON_LEN_MISMATCH)
             continue
-        vk_np = np.asarray(vks)
-        reprs = [serial.vk_str(params, vk_np[i]) for i in range(N)]
-        order = _sorted_order(reprs)
-        sorted_data[gi] = (
-            vk_np[np.array(order)],
-            [reprs[i] for i in order],
-            [messages[i] for i in order],
-            np.asarray(agg),
-        )
+        data[gi] = (vk_np, list(messages), np.asarray(agg))
         live.append(gi)
     if not live:
-        return [r for r in results]  # all failed the guards
+        return [r for r in results]
 
-    # bucket by N, run the fused hash pipeline per bucket
     by_n: dict = {}
     for gi in live:
-        by_n.setdefault(sorted_data[gi][0].shape[0], []).append(gi)
-    n_max = max(by_n)
-    d, rank = params.degree, params.rank
-    cc_pad = np.zeros((len(live), n_max, d), dtype=np.int32)
-    al_pad = np.zeros((len(live), n_max, d), dtype=np.int32)
-    vk_pad = np.zeros((len(live), n_max, 2, d), dtype=np.int32)
-    aggs = np.empty((len(live), rank, d), dtype=np.int32)
-    pos = {gi: k for k, gi in enumerate(live)}
-    for N, gis in by_n.items():
-        reprs_flat = [r for gi in gis for r in sorted_data[gi][1]]
-        msgs_flat = [m for gi in gis for m in sorted_data[gi][2]]
-        cc, al = derive_alphas_grouped(params, reprs_flat, msgs_flat, len(gis), N)
+        by_n.setdefault(data[gi][0].shape[0], []).append(gi)
+
+    def fill(gis, eq, norm_ok, w_ok):
         for k, gi in enumerate(gis):
-            p = pos[gi]
-            cc_pad[p, :N] = cc[k]
-            al_pad[p, :N] = al[k]
-            vk_pad[p, :N] = sorted_data[gi][0]
-            aggs[p] = sorted_data[gi][3]
-    eq, norm_ok, w_ok = _ctx(params)["verify_core"](
-        jnp.asarray(aggs), jnp.asarray(vk_pad), jnp.asarray(cc_pad), jnp.asarray(al_pad)
-    )
-    eq, norm_ok, w_ok = np.asarray(eq), np.asarray(norm_ok), np.asarray(w_ok)
-    for gi in live:
-        p = pos[gi]
-        if not eq[p]:
-            results[gi] = (False, REASON_TARGET)
-        elif not norm_ok[p]:
-            results[gi] = (False, REASON_NORM)
-        elif not w_ok[p]:
-            results[gi] = (False, REASON_WEIGHT)
+            if not eq[k]:
+                results[gi] = (False, REASON_TARGET)
+            elif not norm_ok[k]:
+                results[gi] = (False, REASON_NORM)
+            elif not w_ok[k]:
+                results[gi] = (False, REASON_WEIGHT)
+            else:
+                results[gi] = (True, "")
+
+    host_buckets = []  # (gis, vks_sorted [Gb,N,2,d], msgs_sorted, aggs [Gb,rank,d])
+    for N, gis in sorted(by_n.items()):
+        Gb = len(gis)
+        vks_b = np.stack([data[gi][0] for gi in gis])  # [Gb, N, 2, d]
+        aggs_b = np.stack([data[gi][2] for gi in gis])
+        ranks = np.asarray(
+            vk_sort_ranks(params, jnp.asarray(vks_b.reshape(Gb * N, 2, d)), N)
+        )
+        order = np.argsort(ranks, axis=1)  # [Gb, N] — exact stable sort order
+        vks_s = np.take_along_axis(vks_b, order[:, :, None, None], axis=1)
+        msgs_s = [data[gi][1][j] for k, gi in enumerate(gis) for j in order[k]]
+        if Gb >= device_bucket_threshold:
+            eq, nok, wok = dp.verify_batch_device(
+                params, jnp.asarray(vks_s), msgs_s, jnp.asarray(aggs_b)
+            )
+            fill(gis, np.asarray(eq), np.asarray(nok), np.asarray(wok))
         else:
-            results[gi] = (True, "")
+            host_buckets.append((gis, vks_s, msgs_s, aggs_b))
+
+    if host_buckets:
+        n_max = max(b[1].shape[1] for b in host_buckets)
+        Gt = sum(len(b[0]) for b in host_buckets)
+        cc_pad = np.zeros((Gt, n_max, d), dtype=np.int32)
+        al_pad = np.zeros((Gt, n_max, d), dtype=np.int32)
+        vk_pad = np.zeros((Gt, n_max, 2, d), dtype=np.int32)
+        aggs = np.empty((Gt, rank, d), dtype=np.int32)
+        all_gis: List[int] = []
+        p = 0
+        for gis, vks_s, msgs_s, aggs_b in host_buckets:
+            Gb, N = vks_s.shape[0], vks_s.shape[1]
+            # the host hash pipeline consumes repr strings (they ARE the
+            # SHAKE preimages) — rendered only for these small buckets
+            reprs = [
+                serial.vk_str(params, vks_s[k, j])
+                for k in range(Gb)
+                for j in range(N)
+            ]
+            cc, al = derive_alphas_grouped(params, reprs, msgs_s, Gb, N)
+            sl = slice(p, p + Gb)
+            cc_pad[sl, :N] = cc
+            al_pad[sl, :N] = al
+            vk_pad[sl, :N] = vks_s
+            aggs[sl] = aggs_b
+            all_gis.extend(gis)
+            p += Gb
+        eq, norm_ok, w_ok = _ctx(params)["verify_core"](
+            jnp.asarray(aggs), jnp.asarray(vk_pad), jnp.asarray(cc_pad),
+            jnp.asarray(al_pad),
+        )
+        fill(all_gis, np.asarray(eq), np.asarray(norm_ok), np.asarray(w_ok))
     return [r for r in results]
 
 

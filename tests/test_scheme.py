@@ -197,3 +197,27 @@ def test_verify_many_ragged(params128):
     assert out[1] == (True, "")
     assert out[2] == (False, lc.REASON_TARGET)
     assert out[3] == (False, lc.REASON_LEN_MISMATCH)
+
+
+def test_verify_many_device_bucket_path(params128):
+    """verify_many with device_bucket_threshold=1 routes every bucket through
+    the all-on-device hash pipeline — same verdicts as the host path."""
+    params = params128
+    keys = ftpu.keygen(params, [301, 302, 303, 304, 305])
+    msgs = ["a1", "a2", "a3", "a4", "a5"]
+    sigs = ftpu.sign(params, keys, msgs)
+    vk = keys.vk_np()
+    agg2 = np.asarray(ftpu.aggregate(params, vk[:2], msgs[:2], sigs.sig[:2]))
+    agg3 = np.asarray(ftpu.aggregate(params, vk[2:], msgs[2:], sigs.sig[2:]))
+    bad = agg2.copy()
+    bad[0, 0] += 1
+    groups = [
+        (vk[:2], msgs[:2], agg2),
+        (vk[2:], msgs[2:], agg3),
+        (vk[:2], msgs[:2], bad),
+    ]
+    out = lc.verify_many(params, groups, device_bucket_threshold=1)
+    assert out[0] == (True, "")
+    assert out[1] == (True, "")
+    assert out[2] == (False, lc.REASON_TARGET)
+    assert out == lc.verify_many(params, groups, device_bucket_threshold=10**9)
