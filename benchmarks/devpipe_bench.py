@@ -86,7 +86,7 @@ def main():
     kw = dict(group_chunk=args.group_chunk)
     t0 = time.time()
     eq, nok, wok = dp.verify_batch_device(params, grouped_vks, s_msgs, aggs, **kw)
-    eq.block_until_ready()
+    np.asarray(eq)  # host pull: block_until_ready does not sync on this platform
     log(f"warm (incl. compile): {time.time()-t0:.1f}s")
     assert bool(np.all(np.asarray(eq))), "device pipeline verify failed"
     assert bool(np.all(np.asarray(nok))) and bool(np.all(np.asarray(wok)))
@@ -97,7 +97,7 @@ def main():
     pend = [dp.verify_batch_device(params, grouped_vks, s_msgs, aggs, **kw)[0]
             for _ in range(args.reps)]
     for e in pend:
-        e.block_until_ready()
+        assert bool(np.all(np.asarray(e)))  # host pull = the only real sync here
     dt = (time.time() - t0) / args.reps
     log(f"{G} grouped verifies in {dt:.3f}s steady-state")
     print(f"device_pipeline_verifies_per_s={G/dt:.1f}  secpar={args.secpar} N={N} G={G}")

@@ -30,6 +30,8 @@ def _build_groups(params, G, N, seed0=100):
 
 
 @pytest.mark.parametrize("secpar,G,N", [(128, 3, 4), (256, 2, 3)])
+@pytest.mark.fast
+@pytest.mark.smoke
 def test_device_pipeline_matches_host(secpar, G, N):
     params = ftpu.fusion_setup(secpar, 77)
     vks, msgs, aggs, cc_host, al_host = _build_groups(params, G, N)

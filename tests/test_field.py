@@ -8,6 +8,8 @@ import pytest
 
 from fusion_cryptography_tpu.ops import field as F
 
+pytestmark = pytest.mark.fast
+
 
 def rand_residues(n, seed):
     rng = random.Random(seed)

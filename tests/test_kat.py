@@ -10,6 +10,8 @@ import pytest
 
 from fusion_cryptography_tpu.interop import kat
 
+pytestmark = [pytest.mark.fast, pytest.mark.smoke]
+
 KAT_DIR = kat.DEFAULT_KAT_DIR
 present = sorted(p.name for p in KAT_DIR.glob("*.csv")) if KAT_DIR.exists() else []
 

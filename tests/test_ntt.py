@@ -14,6 +14,8 @@ from fusion_cryptography_tpu.ops import field as F
 from fusion_cryptography_tpu.ops.ntt import make_plan, ntt_fwd, ntt_inv, negacyclic_poly_mult
 from fusion_cryptography_tpu.ops.numtheory import bit_reverse_indices, find_primitive_root
 
+pytestmark = pytest.mark.fast
+
 # (degree, modulus) sweep mirroring the reference's coverage design
 # (tests/test_ntt.py:18-49: every d = 2^2..2^6 with the first ascending primes
 # q < 2^17, q ≡ 1 (mod 2d)), plus the two production configurations.

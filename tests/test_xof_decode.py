@@ -5,6 +5,8 @@ import pytest
 from fusion_cryptography_tpu.hashing.decode import decode_bytes_to_coefficients
 from fusion_cryptography_tpu.ops import xof_decode
 
+pytestmark = pytest.mark.fast
+
 Q = 2147465729
 
 
