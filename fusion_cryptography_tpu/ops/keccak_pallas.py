@@ -263,3 +263,25 @@ def shake256_words_pallas(words, lens, n_out: int, interpret: bool = False):
     )
     out = _build_squeeze(out_blocks, interpret)(state)
     return _words_to_bytes_lm(out.reshape(out_blocks * _WPB, B), n_out)
+
+
+def shake256_words_pallas_w(words, lens, n_words: int, interpret: bool = False):
+    """Fused-sponge SHAKE256, packed words in AND out: uint32[max_blocks*34, B]
+    payload words -> uint32[n_words, B] XOF stream words (same layout as
+    keccak.shake256_squeeze_words — feeds ops/xof_decode.decode_coeffs_w with
+    no byte unpacking).  ``words`` must be zero beyond ``lens`` bytes; B a
+    multiple of 1024."""
+    rows, B = words.shape
+    if B % 1024:
+        raise ValueError(f"batch {B} must be a multiple of 1024")
+    if rows % _WPB:
+        raise ValueError(f"word rows {rows} must be a multiple of {_WPB}")
+    max_blocks = rows // _WPB
+    w, n_blocks = _pad_words_lm(words, lens)
+    out_blocks = -(-(4 * n_words) // RATE)
+    T = B // 128
+    state = _build_absorb(max_blocks, interpret)(
+        w.reshape(max_blocks, _WPB, T, 128), n_blocks.reshape(T, 128)
+    )
+    out = _build_squeeze(out_blocks, interpret)(state)
+    return out.reshape(out_blocks * _WPB, B)[:n_words]

@@ -144,7 +144,7 @@ def _pallas_selfcheck() -> bool:
 
 
 def make_stages(params: Params, n_signers: int, use_pallas: bool,
-                use_words: bool = None):
+                use_words: bool = None, pallas_sponge: bool = False):
     """The lane-major hash stages shared by grouped verify (this module) and
     the on-device benchmark setup (scheme/device_setup.py).
 
@@ -181,6 +181,19 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool,
 
     def _pad_rate_words(n_bytes: int) -> int:
         return _pad_rate(n_bytes) // 4
+
+    def _sponge_words(wbuf, total, n_words: int, min_len: int):
+        """Word-in/word-out SHAKE: the Pallas fused sponge when requested
+        and the batch tiles into [8, 128] vregs, else the XLA lane sponge
+        (identical output words)."""
+        if pallas_sponge and wbuf.shape[-1] % 1024 == 0:
+            from ..ops.keccak_pallas import shake256_words_pallas_w
+
+            return shake256_words_pallas_w(wbuf, total, n_words)
+        return shake256_squeeze_words(
+            shake256_absorb_words(wbuf, total, min_len=min_len, assume_clean=True),
+            n_words,
+        )
 
     def _hash_stage(spec, values, extras, bounds, n_out: int, B: int):
         """preimage assembly + SHAKE -> uint8[n_out, B] XOF stream.
@@ -222,12 +235,7 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool,
         wbuf, total = ds.fold_challenge_preimage_w(
             params, vk_chunk, pre_chunk, pad_words=_pad_rate_words(ch_spec.out_max)
         )
-        xw = shake256_squeeze_words(
-            shake256_absorb_words(
-                wbuf, total, min_len=g["ch_min"], assume_clean=True
-            ),
-            -(-g["n_xof_ch_used"] // 4),
-        )
+        xw = _sponge_words(wbuf, total, -(-g["n_xof_ch_used"] // 4), g["ch_min"])
         cc_t = xof_decode.decode_coeffs_w(xw, g["geom_ch"], g["n_xof_ch_used"])  # [d, B]
         cc = cc_t.T
         c_hat_u = ntt_fwd_u(plan, F.to_unsigned(cc))  # [B, d]
@@ -307,11 +315,8 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool,
                 agg_spec, values=None, extras=extras, extra_bounds=tri_bounds,
                 pad_words=_pad_rate_words(agg_spec.out_max),
             )
-            blob_w = shake256_squeeze_words(
-                shake256_absorb_words(
-                    wbuf, total, min_len=agg_min, assume_clean=True
-                ),
-                -(-(N * g["block_ag"]) // 4),
+            blob_w = _sponge_words(
+                wbuf, total, -(-(N * g["block_ag"]) // 4), agg_min
             )  # [ceil(N*block/4), G]
             per_w = xof_decode.split_streams_w(blob_w, N, g["block_ag"])
             al_t = xof_decode.decode_coeffs_w(
@@ -388,7 +393,8 @@ def _geometries(params: Params):
 
 @lru_cache(maxsize=32)
 def _pipeline_cached(params: Params, n_signers: int, use_pallas: bool,
-                     use_words: bool, device_prehash: bool):
+                     use_words: bool, device_prehash: bool,
+                     pallas_sponge: bool = False):
     """Build the grouped-verify stage functions for one (params, N) shape and
     one pipeline-flavor flag tuple (the env knobs are folded into this cache
     key by :func:`get_pipeline`, so toggling them mid-process takes effect on
@@ -411,7 +417,7 @@ def _pipeline_cached(params: Params, n_signers: int, use_pallas: bool,
     N = n_signers
     a_mont = F.to_mont(F.to_unsigned(jnp.asarray(params.public_challenge)))
     signer_stage, group_stage = make_stages(
-        params, N, use_pallas, use_words=use_words
+        params, N, use_pallas, use_words=use_words, pallas_sponge=pallas_sponge
     )
     device_prehash = device_prehash and signer_stage.prehash is not None
 
@@ -553,7 +559,23 @@ def _env_flags():
     use_pallas = use_pallas_default()
     use_words = (not use_pallas) and not os.environ.get("FUSION_BYTE_PIPELINE")
     device_prehash = use_words and not _host_prehash_forced()
-    return use_pallas, use_words, device_prehash
+    # Pallas fused sponge (state VMEM-resident across rate blocks) inside
+    # the word pipeline: DEFAULT ON for TPU backends, gated by the one-time
+    # compile self-check (falls back to the XLA sponge on deployments where
+    # Pallas cannot compile — rounds 1-3 of this build).  FUSION_PALLAS_SPONGE=1
+    # forces the attempt on any backend, =0 or FUSION_DISABLE_PALLAS disables.
+    ps_env = os.environ.get("FUSION_PALLAS_SPONGE")
+    if os.environ.get("FUSION_DISABLE_PALLAS") or ps_env == "0":
+        pallas_sponge = False
+    elif ps_env:
+        pallas_sponge = use_words and _pallas_selfcheck()
+    else:
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover
+            on_tpu = False
+        pallas_sponge = use_words and on_tpu and _pallas_selfcheck()
+    return use_pallas, use_words, device_prehash, pallas_sponge
 
 
 def get_pipeline(params: Params, n_signers: int):
