@@ -128,7 +128,7 @@ def main():
     # sync — call k+1's host prep overlaps call k's device tail, exactly how
     # a production verifier drains a queue.  This is the headline metric;
     # per-call latency is logged above.
-    R = args.reps
+    R = max(args.reps, 5)
     t0 = time.time()
     eqs = [run_e2e() for _ in range(R)]
     for e in eqs:

@@ -433,13 +433,40 @@ def keygen(params: Params, seeds: Sequence[Optional[int]]) -> KeyBatch:
     return KeyBatch(params=params, seeds=seeds, sk_hat=sk_hat, vk=vk)
 
 
-def sign(params: Params, keys: KeyBatch, messages: Sequence[str]) -> SignatureBatch:
+def sign(params: Params, keys: KeyBatch, messages: Sequence[str],
+         *, device_hash_threshold: int = 128) -> SignatureBatch:
     """Batched signing (fusion.py:534-557): one challenge hash per (vk, message),
-    then sig = left_sk ⊙ c + right_sk on device."""
+    then sig = left_sk ⊙ c + right_sk on device.
+
+    Batches of >= ``device_hash_threshold`` keys derive their challenges with
+    the verifier's ON-DEVICE signer stage (SHA3 prehash + preimage assembly +
+    SHAKE + decode on chip — no host repr rendering or host Keccak), which is
+    what makes signing scale with the chip instead of the host (bit-exact
+    twin of the host hash path; tests/test_scheme.py).
+    """
     if len(messages) != len(keys):
         raise ValueError("need exactly one message per key")
+    B = len(keys)
+    msgs = list(messages)
+    from . import device_pipeline as dp
+
+    P = dp.get_pipeline(params, 1)
+    if B >= device_hash_threshold and P.signer_at is not None:
+        packed = P.prep_packed(msgs)
+        vks4 = jnp.asarray(keys.vk).reshape(B, 1, 2, params.degree)
+        parts = []
+        for lo, hi in dp._launch_chunks(B, 8192):
+            cc, _, _, _ = P.signer_at(
+                vks4,
+                jnp.asarray(packed[lo:hi].reshape(hi - lo, 1, -1)),
+                lo, hi - lo,
+            )
+            parts.append(cc)
+        c_coeffs = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        sig, _ = _ctx(params)["sign_core"](keys.sk_hat, c_coeffs)
+        return SignatureBatch(params=params, sig=sig)
     vk_reprs = keys.vk_strs()
-    _, c_coeffs = _challenges_for(params, vk_reprs, list(messages))
+    _, c_coeffs = _challenges_for(params, vk_reprs, msgs)
     sig, _ = _ctx(params)["sign_core"](keys.sk_hat, jnp.asarray(c_coeffs))
     return SignatureBatch(params=params, sig=sig)
 

@@ -221,3 +221,14 @@ def test_verify_many_device_bucket_path(params128):
     assert out[1] == (True, "")
     assert out[2] == (False, lc.REASON_TARGET)
     assert out == lc.verify_many(params, groups, device_bucket_threshold=10**9)
+
+
+def test_sign_device_hash_matches_host(params128):
+    """lifecycle.sign's on-device challenge derivation (device_hash_threshold
+    crossed) produces bit-identical signatures to the host hash path."""
+    params = params128
+    keys = ftpu.keygen(params, list(range(500, 532)))
+    msgs = [f"dm{i}" for i in range(32)]
+    dev = lc.sign(params, keys, msgs, device_hash_threshold=1)
+    host = lc.sign(params, keys, msgs, device_hash_threshold=10**9)
+    assert np.array_equal(np.asarray(dev.sig), np.asarray(host.sig))
