@@ -731,7 +731,7 @@ def verify_batch_device(
     messages: Sequence[str],
     aggs,
     *,
-    group_chunk: int = 2048,
+    group_chunk: int = 512,
     group_hash_chunk: int = 16384,
 ):
     """Grouped verify with the full hash pipeline on device.
@@ -752,7 +752,7 @@ def verify_batch_device(
 
 
 def derive_coeffs_device(
-    params: Params, vks, messages: Sequence[str], aggs, *, group_chunk: int = 2048
+    params: Params, vks, messages: Sequence[str], aggs, *, group_chunk: int = 512
 ):
     """Debug/test entry: returns (eq, norm_ok, weight_ok, challenge coeffs
     int32[G, N, d], alpha coeffs int32[G, N, d])."""
