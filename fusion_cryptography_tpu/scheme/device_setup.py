@@ -209,7 +209,7 @@ def build_fleet(
     *,
     seed0: int = 1,
     messages: Sequence[str] = None,
-    group_chunk: int = 2048,
+    group_chunk: int = 512,
 ) -> Tuple[jnp.ndarray, List[str], jnp.ndarray]:
     """Build G aggregate-signature groups of N signers for benchmarking.
 
