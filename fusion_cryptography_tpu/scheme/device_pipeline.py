@@ -144,7 +144,8 @@ def _pallas_selfcheck() -> bool:
 
 
 def make_stages(params: Params, n_signers: int, use_pallas: bool,
-                use_words: bool = None, pallas_sponge: bool = False):
+                use_words: bool = None, pallas_sponge: bool = False,
+                pallas_assembly: bool = False):
     """The lane-major hash stages shared by grouped verify (this module) and
     the on-device benchmark setup (scheme/device_setup.py).
 
@@ -230,7 +231,35 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool,
         """Word path with the str(vk) subtree assembled ONCE and folded into
         both the challenge preimage and the triple.  The XOF stays packed
         words end-to-end: squeeze_words -> decode_coeffs_w, no [n, B] byte
-        tensor between the sponge and the coefficients."""
+        tensor between the sponge and the coefficients.
+
+        With ``pallas_assembly`` the two signer preimages come from the fused
+        Pallas assembler instead of the XLA merge tree (same packed-word
+        output; the vk subtree is assembled per-spec there, which the VMEM
+        residency more than pays for)."""
+        B = vk2d_t.shape[-1]
+        if pallas_assembly and B % 1024 == 0:
+            from ..ops.assemble_pallas import assemble_pallas
+
+            dig16 = rw.unpack_words_to_bytes(
+                pre_chunk.buf, ds.PREHASH_W
+            ).astype(jnp.int16)
+            ex = [(dig16, pre_chunk.length)]
+            wbuf, total = assemble_pallas(
+                ch_spec, values=vk2d_t, extras=ex, extra_bounds=pre_bounds,
+                pad_to=_pad_rate(ch_spec.out_max), output="words",
+            )
+            xw = _sponge_words(wbuf, total, -(-g["n_xof_ch_used"] // 4), g["ch_min"])
+            cc_t = xof_decode.decode_coeffs_w(xw, g["geom_ch"], g["n_xof_ch_used"])
+            cc = cc_t.T
+            c_hat_u = ntt_fwd_u(plan, F.to_unsigned(cc))  # [B, d]
+            c_hat_t = F.to_centered(c_hat_u).T  # [d, B]
+            tvals_t = jnp.concatenate([vk2d_t, c_hat_t], axis=0)  # [3d, B]
+            tbuf, tlen = assemble_pallas(
+                tri_spec, values=tvals_t, extras=ex, extra_bounds=pre_bounds,
+                pad_to=4 * rw.words_for(tri_spec.out_max), output="words",
+            )
+            return cc, c_hat_u, tbuf, tlen
         vk_chunk = ds.vk_chunk_w(params, vk2d_t)
         wbuf, total = ds.fold_challenge_preimage_w(
             params, vk_chunk, pre_chunk, pad_words=_pad_rate_words(ch_spec.out_max)
@@ -394,7 +423,8 @@ def _geometries(params: Params):
 @lru_cache(maxsize=32)
 def _pipeline_cached(params: Params, n_signers: int, use_pallas: bool,
                      use_words: bool, device_prehash: bool,
-                     pallas_sponge: bool = False):
+                     pallas_sponge: bool = False,
+                     pallas_assembly: bool = False):
     """Build the grouped-verify stage functions for one (params, N) shape and
     one pipeline-flavor flag tuple (the env knobs are folded into this cache
     key by :func:`get_pipeline`, so toggling them mid-process takes effect on
@@ -417,7 +447,8 @@ def _pipeline_cached(params: Params, n_signers: int, use_pallas: bool,
     N = n_signers
     a_mont = F.to_mont(F.to_unsigned(jnp.asarray(params.public_challenge)))
     signer_stage, group_stage = make_stages(
-        params, N, use_pallas, use_words=use_words, pallas_sponge=pallas_sponge
+        params, N, use_pallas, use_words=use_words, pallas_sponge=pallas_sponge,
+        pallas_assembly=pallas_assembly,
     )
     device_prehash = device_prehash and signer_stage.prehash is not None
 
@@ -575,7 +606,12 @@ def _env_flags():
         except Exception:  # pragma: no cover
             on_tpu = False
         pallas_sponge = use_words and on_tpu and _pallas_selfcheck()
-    return use_pallas, use_words, device_prehash, pallas_sponge
+    # FUSION_PALLAS_ASSEMBLY=1: signer preimages from the fused Pallas
+    # assembler (opt-in — compiles in ~2 min per spec on this deployment)
+    pallas_assembly = bool(
+        pallas_sponge and os.environ.get("FUSION_PALLAS_ASSEMBLY")
+    )
+    return use_pallas, use_words, device_prehash, pallas_sponge, pallas_assembly
 
 
 def get_pipeline(params: Params, n_signers: int):
