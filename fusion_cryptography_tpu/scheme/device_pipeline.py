@@ -546,17 +546,21 @@ def _pipeline_cached(params: Params, n_signers: int, use_pallas: bool,
     # tunnel launch per slice.
     if device_prehash:
         @partial(jax.jit, static_argnums=(2, 3))
-        def j_prep_at(vks_full, packed, lo, size):
+        def j_prep_at(vks_full, packed_full, lo, size):
             vkc = vks_full[lo : lo + size]
-            mw = packed[:, :, :-1]
-            ml = packed[:, :, -1].astype(_I32)
+            pk = packed_full[lo : lo + size]
+            mw = pk[:, :, :-1]
+            ml = pk[:, :, -1].astype(_I32)
             return (vkc.reshape(-1, 2 * d).T,) + signer_stage.prehash(
                 mw.reshape(ml.size, -1).T, ml.reshape(-1)
             )
 
-        def signer_at(vks_full, packed, lo, size):
-            """packed: device u32[size, N, Wt+1] (prep_packed upload)."""
-            return _j_core(*j_prep_at(vks_full, packed, lo, size))
+        def signer_at(vks_full, packed_full, lo, size):
+            """packed_full: device u32[G, N, Wt+1] (ONE prep_packed upload
+            for the whole verify — each device_put is a tunnel round trip,
+            and at chunk 512 the puts were the largest per-chunk fixed
+            cost)."""
+            return _j_core(*j_prep_at(vks_full, packed_full, lo, size))
     else:
         signer_at = None
 
@@ -713,15 +717,15 @@ def _verify_windows(params, P, vks, messages, aggs, group_chunk, group_hash_chun
     chunks = _launch_chunks(G, group_chunk)
     packed_path = P.signer_at is not None
     sparts = []
-    for lo, hi in chunks:
-        if packed_path:
-            # ONE upload + two launches per chunk; vks sliced at a static
-            # offset inside the producer jit (no eager device slicing)
-            packed = jnp.asarray(
-                P.prep_packed(msgs[lo * N : hi * N]).reshape(hi - lo, N, -1)
-            )
-            sparts.append(P.signer_at(vks, packed, lo, hi - lo))
-        else:
+    if packed_path:
+        # ONE packed upload for the whole verify; every chunk slices it (and
+        # vks) at a static offset inside the producer jit — two launches per
+        # chunk, no per-chunk device_put round trips
+        packed_full = jnp.asarray(P.prep_packed(msgs).reshape(G, N, -1))
+        for lo, hi in chunks:
+            sparts.append(P.signer_at(vks, packed_full, lo, hi - lo))
+    else:
+        for lo, hi in chunks:
             pb, pl = P.prep(msgs[lo * N : hi * N])
             pb = jnp.asarray(pb.reshape(hi - lo, N, -1))
             pl = jnp.asarray(pl.reshape(hi - lo, N))

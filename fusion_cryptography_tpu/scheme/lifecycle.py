@@ -452,15 +452,11 @@ def sign(params: Params, keys: KeyBatch, messages: Sequence[str],
 
     P = dp.get_pipeline(params, 1)
     if B >= device_hash_threshold and P.signer_at is not None:
-        packed = P.prep_packed(msgs)
+        packed_full = jnp.asarray(P.prep_packed(msgs).reshape(B, 1, -1))
         vks4 = jnp.asarray(keys.vk).reshape(B, 1, 2, params.degree)
         parts = []
         for lo, hi in dp._launch_chunks(B, 8192):
-            cc, _, _, _ = P.signer_at(
-                vks4,
-                jnp.asarray(packed[lo:hi].reshape(hi - lo, 1, -1)),
-                lo, hi - lo,
-            )
+            cc, _, _, _ = P.signer_at(vks4, packed_full, lo, hi - lo)
             parts.append(cc)
         c_coeffs = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         sig, _ = _ctx(params)["sign_core"](keys.sk_hat, c_coeffs)
