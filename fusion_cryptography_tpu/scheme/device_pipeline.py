@@ -424,7 +424,8 @@ def _geometries(params: Params):
 def _pipeline_cached(params: Params, n_signers: int, use_pallas: bool,
                      use_words: bool, device_prehash: bool,
                      pallas_sponge: bool = False,
-                     pallas_assembly: bool = False):
+                     pallas_assembly: bool = False,
+                     fused_prep: bool = False):
     """Build the grouped-verify stage functions for one (params, N) shape and
     one pipeline-flavor flag tuple (the env knobs are folded into this cache
     key by :func:`get_pipeline`, so toggling them mid-process takes effect on
@@ -544,7 +545,27 @@ def _pipeline_cached(params: Params, n_signers: int, use_pallas: bool,
     # baked STATICALLY (one small executable per chunk offset, compiled once
     # and cached) — no eager device-array slicing, which costs one ~1 ms
     # tunnel launch per slice.
-    if device_prehash:
+    if device_prehash and fused_prep:
+        # HAZARD REPRODUCER (FUSION_FUSED_PREP=1) — DO NOT enable in
+        # production.  Fusing the transpose/prehash into the signer jit
+        # still corrupts lanes at B=8192 on this deployment (re-confirmed
+        # 2026-08-21 on jax 0.9.0: `FUSION_FUSED_PREP=1 python
+        # benchmarks/devpipe_bench.py --groups 2048 --group-chunk 2048`
+        # fails its host-aggregate parity assertion while the default
+        # producer-jit path passes).  Kept as the one-command repro of the
+        # layout-propagation hazard documented in PERFORMANCE.md.
+        @partial(jax.jit, static_argnums=(2, 3))
+        def _j_fused(vks_full, packed_full, lo, size):
+            vkc = vks_full[lo : lo + size]
+            pk = packed_full[lo : lo + size]
+            mw = pk[:, :, :-1]
+            ml = pk[:, :, -1].astype(_I32)
+            pre = signer_stage.prehash(mw.reshape(ml.size, -1).T, ml.reshape(-1))
+            return signer_stage(vkc.reshape(-1, 2 * d).T, *pre)
+
+        def signer_at(vks_full, packed_full, lo, size):
+            return _j_fused(vks_full, packed_full, lo, size)
+    elif device_prehash:
         @partial(jax.jit, static_argnums=(2, 3))
         def j_prep_at(vks_full, packed_full, lo, size):
             vkc = vks_full[lo : lo + size]
@@ -615,7 +636,9 @@ def _env_flags():
     pallas_assembly = bool(
         pallas_sponge and os.environ.get("FUSION_PALLAS_ASSEMBLY")
     )
-    return use_pallas, use_words, device_prehash, pallas_sponge, pallas_assembly
+    fused_prep = bool(os.environ.get("FUSION_FUSED_PREP"))
+    return (use_pallas, use_words, device_prehash, pallas_sponge,
+            pallas_assembly, fused_prep)
 
 
 def get_pipeline(params: Params, n_signers: int):
