@@ -62,6 +62,23 @@ from ..hashing.xof import agg_block_len, challenge_xof_len, hash_message_to_int
 _I32 = jnp.int32
 
 
+def _dl(x):
+    """Force the default (row-major) device layout on an in-graph tensor.
+
+    THE fix for the TPU layout-propagation hazard documented in
+    PERFORMANCE.md: feeding the word-assembly stages from an in-graph
+    transpose lets XLA propagate the transposed physical layout into the
+    barrel-shift/merge subgraph, where it miscompiles (~610 corrupt words at
+    B=8192, benchmarks/layout_hazard_lab.py).  ``with_layout_constraint`` to
+    the default layout inserts the same physical relayout a jit boundary
+    would — bit-exact where the plain fused transpose corrupts — without the
+    ~1 ms/launch tunnel dispatch of a separate producer jit.
+    """
+    from jax.experimental.layout import Layout, with_layout_constraint
+
+    return with_layout_constraint(x, Layout(tuple(range(x.ndim))))
+
+
 def _pad_rate(n: int) -> int:
     return -(-(n + 1) // RATE) * RATE  # +1: the 0x1F pad byte may start a block
 
@@ -594,12 +611,97 @@ def _pipeline_cached(params: Params, n_signers: int, use_pallas: bool,
             aggs_full[lo : lo + size],
         )
 
+    # ------------------------------------------------------------------
+    # Fused pipeline: the WHOLE hash half (and optionally the lattice) as
+    # ONE device launch.  Per-chunk working-set bounds are kept by running
+    # the signer half as a lax.map over chunk-sized sub-batches INSIDE the
+    # jit; the in-graph input transposes are made safe by _dl layout
+    # constraints (the round-5 root-cause fix for the layout hazard —
+    # benchmarks/layout_hazard_lab.py).  At ~1 ms tunnel dispatch per
+    # launch, collapsing the round-4 structure (~50 launches/call at
+    # G=8192, chunk 512) into 1-17 launches is the dominant throughput win.
+    # ------------------------------------------------------------------
+
+    def _signer_chunk_body(vkc, pkc):
+        """One chunk: vkc i32[c, N, 2, d], pkc u32[c, N, Wt+1] ->
+        (c_hat_u u32[cN, d], tbuf u32[Lw, cN], tlen i32[cN])."""
+        ml = pkc[:, :, -1].astype(_I32)
+        mw = pkc[:, :, :-1]
+        pre_w, pre_len = signer_stage.prehash(
+            _dl(mw.reshape(ml.size, -1).T), ml.reshape(-1)
+        )
+        vk2d_t = _dl(vkc.reshape(-1, 2 * d).T)
+        _cc, c_hat_u, tbuf, tlen = signer_stage(vk2d_t, _dl(pre_w), pre_len)
+        return c_hat_u, tbuf, tlen
+
+    def _hash_all(vks, packed, chunk: int):
+        """signer lax.map over chunks + one full-window group stage ->
+        (c_hat_u u32[G*N, d], al i32[G, N, d])."""
+        G = vks.shape[0]
+        nc = G // chunk
+        vkr = vks.reshape(nc, chunk, N, 2, d)
+        pkr = packed.reshape(nc, chunk, N, packed.shape[-1])
+        if nc > 1:
+            c_hat_u, tbuf, tlen = jax.lax.map(
+                lambda c: _signer_chunk_body(*c), (vkr, pkr)
+            )
+        else:
+            c_hat_u, tbuf, tlen = jax.tree_util.tree_map(
+                lambda x: x[None], _signer_chunk_body(vkr[0], pkr[0])
+            )
+        # [nc, Lw, cN] -> [Lw, G, N]; strided per-signer views need the
+        # default-layout constraint just like the transposes above
+        tb = jnp.moveaxis(tbuf, 0, 1).reshape(tbuf.shape[1], G, N)
+        tl = tlen.reshape(G, N)
+        al = group_stage.parts(
+            [_dl(tb[:, :, k]) for k in range(N)],
+            [tl[:, k] for k in range(N)],
+        )
+        return c_hat_u.reshape(G * N, d), al
+
+    @partial(jax.jit, static_argnums=(2,))
+    def fused_hash(vks, packed, chunk):
+        return _hash_all(vks, packed, chunk)
+
+    @partial(jax.jit, static_argnums=(3, 4))
+    def fused_all(vks, packed, aggs, chunk, lattice_chunk):
+        """The whole grouped verify as ONE launch."""
+        G = vks.shape[0]
+        c_hat_u, al = _hash_all(vks, packed, chunk)
+        nl = G // lattice_chunk
+        if nl > 1:
+            eq, norm_ok, weight_ok = jax.lax.map(
+                lambda c: j_lattice(*c),
+                (
+                    vks.reshape(nl, lattice_chunk, N, 2, d),
+                    c_hat_u.reshape(nl, lattice_chunk * N, d),
+                    al.reshape(nl, lattice_chunk, N, d),
+                    aggs.reshape(nl, lattice_chunk, *aggs.shape[1:]),
+                ),
+            )
+            return eq.reshape(G), norm_ok.reshape(G), weight_ok.reshape(G)
+        return j_lattice(vks, c_hat_u, al, aggs)
+
+    @partial(jax.jit, static_argnums=(4, 5))
+    def lattice_at_full(vks_full, c_hat_full, al, aggs_full, lo, size):
+        """lattice_at with the challenge NTT values sliced from the fused
+        hash output (untransposed row slices — the known-safe pattern)."""
+        return j_lattice(
+            vks_full[lo : lo + size],
+            jax.lax.slice_in_dim(c_hat_full, lo * N, (lo + size) * N, axis=0),
+            jax.lax.slice_in_dim(al, lo, lo + size, axis=0),
+            aggs_full[lo : lo + size],
+        )
+
     return SimpleNamespace(
         signer=j_signer,
         signer_at=signer_at,
         group=j_group,
         lattice=j_lattice,
         lattice_at=lattice_at,
+        lattice_at_full=lattice_at_full,
+        fused_hash=fused_hash,
+        fused_all=fused_all,
         prep=prep,
         prep_packed=prep_packed,
         device_prehash=device_prehash,
@@ -666,6 +768,29 @@ def _pipeline(params: Params, n_signers: int):
 
 
 _pipeline.cache_clear = _pipeline_cached.cache_clear
+
+
+def _fused_mode() -> str:
+    """``FUSION_FUSED_MODE``: "all" (default — whole verify in one launch),
+    "hash" (hash half fused, lattice per chunk), or "off" (the round-4
+    per-chunk launch structure)."""
+    import os
+
+    mode = os.environ.get("FUSION_FUSED_MODE", "all").lower()
+    if mode not in ("off", "hash", "all"):
+        raise ValueError(f"FUSION_FUSED_MODE must be off/hash/all, got {mode!r}")
+    return mode
+
+
+def _lattice_chunk(G: int, group_chunk: int) -> int:
+    """Lattice sub-batch inside the fused jit: the INTT stage sweeps fall off
+    a VMEM cliff above ~512 groups of rank 83 (benchmarks/intt_cliff_lab.py:
+    1.6 us/group at 512 vs 4.6 at 2048), so the in-jit lax.map runs at the
+    sweet spot."""
+    c = min(512, group_chunk)
+    while G % c:
+        c //= 2
+    return max(c, 1)
 
 
 def _host_prehash_forced() -> bool:
@@ -739,6 +864,26 @@ def _verify_windows(params, P, vks, messages, aggs, group_chunk, group_hash_chun
     group_hash_chunk = max(group_chunk, (group_hash_chunk // group_chunk) * group_chunk)
     chunks = _launch_chunks(G, group_chunk)
     packed_path = P.signer_at is not None
+
+    # Fused fast path: the whole hash half (and, in "all" mode, the lattice)
+    # as ONE launch — see _pipeline_cached's fused builders.
+    mode = _fused_mode()
+    if (mode != "off" and packed_path and not want_coeffs
+            and G % group_chunk == 0):
+        packed_full = jnp.asarray(P.prep_packed(msgs).reshape(G, N, -1))
+        if mode == "all":
+            return P.fused_all(vks, packed_full, aggs, group_chunk,
+                               _lattice_chunk(G, group_chunk))
+        c_hat_full, al = P.fused_hash(vks, packed_full, group_chunk)
+        outs = [
+            P.lattice_at_full(vks, c_hat_full, al, aggs, lo, hi - lo)
+            for lo, hi in chunks
+        ]
+        if len(outs) == 1:
+            return outs[0]
+        return tuple(
+            jnp.concatenate([o[k] for o in outs]) for k in range(3)
+        )
     sparts = []
     if packed_path:
         # ONE packed upload for the whole verify; every chunk slices it (and

@@ -420,7 +420,11 @@ def keygen(params: Params, seeds: Sequence[Optional[int]]) -> KeyBatch:
             last = sample_short_poly_coeffs(
                 params.modulus, d, params.beta_sk, params.omega_sk, seeds[-1] + 1
             )
-            assert np.array_equal(last, coeffs[-1, 1])
+            if not np.array_equal(last, coeffs[-1, 1]):
+                raise RuntimeError(
+                    "native sampler disagrees with the stdlib reference sampler "
+                    f"for seed {seeds[-1] + 1}; the native library is corrupt"
+                )
     else:
         coeffs = np.empty((B, 2, d), dtype=np.int32)
         for b, seed in enumerate(seeds):

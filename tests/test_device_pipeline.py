@@ -74,6 +74,35 @@ def test_device_pipeline_staged_matches_unchunked(secpar=128):
     assert not bool(np.asarray(eq1)[3]) and bool(np.asarray(eq1)[0])
 
 
+def test_fused_modes_agree(secpar=128, monkeypatch=None):
+    # FUSION_FUSED_MODE=all (one launch) / hash (fused hash + per-chunk
+    # lattice) / off (round-4 per-chunk launches) must agree bitwise; the
+    # fused path exercises the in-graph layout-constrained transposes
+    params = ftpu.fusion_setup(secpar, 43)
+    G, N = 4, 2
+    vks, msgs, aggs, _, _ = _build_groups(params, G, N, seed0=2100)
+    bad = aggs.copy()
+    bad[2, 0, 0] = (bad[2, 0, 0] + 1) % params.modulus
+    import os
+
+    outs = {}
+    for mode in ("all", "hash", "off"):
+        os.environ["FUSION_FUSED_MODE"] = mode
+        try:
+            outs[mode] = tuple(
+                np.asarray(x)
+                for x in dp.verify_batch_device(
+                    params, vks, msgs, bad, group_chunk=2
+                )
+            )
+        finally:
+            os.environ.pop("FUSION_FUSED_MODE", None)
+    for mode in ("hash", "off"):
+        for a, b in zip(outs["all"], outs[mode]):
+            np.testing.assert_array_equal(a, b)
+    assert not bool(outs["all"][0][2]) and bool(outs["all"][0][0])
+
+
 def test_device_pipeline_chunked_paths(secpar=128):
     # group_chunk=2 with G=5 forces two full launches plus a remainder launch
     # (_launch_chunks -> [(0,2),(2,4),(4,5)]); results must concatenate to the
