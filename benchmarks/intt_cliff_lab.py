@@ -67,5 +67,30 @@ def main():
         print(f"    -> {per / B * 1e6:8.3f} us/group", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--mxu" not in sys.argv:
     main()
+
+
+def mxu_main():
+    from fusion_cryptography_tpu.ops.ntt_mxu_pallas import (
+        ntt_inv_u_mxu_pallas, ntt_fwd_u_mxu_pallas)
+    plan = make_plan()
+    rng = np.random.default_rng(7)
+    print(f"device={jax.devices()[0]}", flush=True)
+
+    def mk(B):
+        return (jnp.asarray(
+            rng.integers(0, plan.modulus, (B, RANK, D), dtype=np.uint32)
+        ),)
+
+    for tile in (256, 512, 1024):
+        def inv_mxu(args, tile=tile):
+            return (ntt_inv_u_mxu_pallas(plan, args[0], tile=tile),)
+        for B in (512, 2048, 8192):
+            per = rate(inv_mxu, mk(B),
+                       label=f"ntt_inv_u_mxu_pallas t={tile:<4d} [{B:5d},{RANK},{D}]")
+            print(f"    -> {per / B * 1e6:8.3f} us/group", flush=True)
+
+
+if __name__ == "__main__" and "--mxu" in sys.argv:
+    mxu_main()

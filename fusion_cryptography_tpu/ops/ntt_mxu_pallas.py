@@ -92,21 +92,36 @@ def _build(plan: NTTPlan, inverse: bool, tile: int, interpret: bool):
 
     def kernel(x_ref, w_ref, o_ref):
         x = x_ref[:]  # u32[T, d] residues in [0, q)
-        acc = None
+        # Mosaic has no u32->bf16 or f32->u32 casts; hop through i32
+        # (limb values < 2^8 and dot outputs < 2^24 are exact throughout)
+        tbs = []
         for b in range(4):
-            xb = ((x >> np.uint32(8 * b)) & np.uint32(0xFF)).astype(jnp.bfloat16)
-            tb = jax.lax.dot_general(
+            xb = (
+                ((x >> np.uint32(8 * b)) & np.uint32(0xFF))
+                .astype(jnp.int32)
+                .astype(jnp.bfloat16)
+            )
+            tbs.append(jax.lax.dot_general(
                 xb, w_ref[b],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [T, 4d] exact integer f32 (< 2^24 per element)
-            for a in range(4):
-                pu = tb[:, a * d : (a + 1) * d].astype(_U32)
-                # Shoup multiply by the static fold constant 2^(8a) mod q
-                hi, _ = widening_mul(pu, np.uint32(fold_sh[a]))
-                r = pu * np.uint32(fold[a]) - hi * qu
-                term = jnp.where(r >= qu, r - qu, r)
-                acc = term if acc is None else F.add_mod(acc, term)
+            ))  # [T, 4d] exact integer f32 (< 2^24 per element)
+        acc = None
+        for a in range(4):
+            # sum the four input-limb contributions for output limb a in i32
+            # FIRST (< 4 * 2^24 = 2^26, exact) -> ONE Shoup multiply per a
+            # instead of one per (a, b): the u32-emulated fold, not the MXU,
+            # is this kernel's critical path
+            s = None
+            for b in range(4):
+                p = tbs[b][:, a * d : (a + 1) * d].astype(jnp.int32)
+                s = p if s is None else s + p
+            pu = s.astype(_U32)
+            # Shoup multiply by the static fold constant 2^(8a) mod q
+            hi, _ = widening_mul(pu, np.uint32(fold_sh[a]))
+            r = pu * np.uint32(fold[a]) - hi * qu
+            term = jnp.where(r >= qu, r - qu, r)
+            acc = term if acc is None else F.add_mod(acc, term)
         o_ref[:] = acc
 
     def call(x2):

@@ -171,6 +171,81 @@ def prepare_real(params: Params, rank_p: int, seeds, messages):
     return jnp.asarray(sk), jnp.asarray(cc[0]), jnp.asarray(al[0]), keys, order
 
 
+def sharded_verify_device(params: Params, mesh: Mesh, vks, messages, aggs,
+                          *, group_chunk: int = 512, axis: str = "dp"):
+    """The flagship all-on-device verify pipeline
+    (scheme/device_pipeline.verify_batch_device) under ``shard_map`` over the
+    ``dp`` mesh axis on the GROUPS dimension.
+
+    Every aggregate group's verify — SHA3 prehash, preimage assembly, SHAKE
+    XOFs, challenge/alpha decode, NTTs, lattice equation, norm/weight — is
+    independent of every other group's, so the groups axis shards with ZERO
+    collectives: each chip runs the same fused one-launch program on its
+    G/dp local groups (the per-group hash stage is the scaling wall at 2^20
+    signatures — SURVEY.md §7 hard-part 5; reference loop:
+    /root/reference/fusion/fusion.py:680-728).
+
+    vks int32[G, N, 2, d], messages G*N strings, aggs int32[G, rank, d];
+    G must be divisible by the dp axis size.  Returns (eq, norm_ok,
+    weight_ok) bool[G].  Bitwise equal to the single-device path
+    (tests/test_sharded.py::test_sharded_device_verify).
+    """
+    from functools import partial as _partial
+
+    from jax.sharding import NamedSharding
+
+    from ..scheme import device_pipeline as dpl
+
+    G, N = int(vks.shape[0]), int(vks.shape[1])
+    ndp = mesh.shape[axis]
+    if G % ndp:
+        raise ValueError(f"G={G} must be divisible by the {axis} axis ({ndp})")
+    Gl = G // ndp
+    chunk = max(1, min(group_chunk, Gl))
+    while Gl % chunk:
+        chunk //= 2
+    P = dpl.get_pipeline(params, N)
+    msgs = list(messages)
+    if len(msgs) != G * N:
+        raise ValueError(f"need {G * N} messages, got {len(msgs)}")
+    packed_np = P.prep_packed(msgs).reshape(G, N, -1)
+    lattice_chunk = Gl if P.mxu_intt else dpl._lattice_chunk(Gl, chunk)
+
+    fn = _sharded_verify_fn(params, mesh, N, chunk, lattice_chunk, axis,
+                            dpl._env_flags())
+    sh = NamedSharding(mesh, jax.sharding.PartitionSpec(axis))
+    vks = jax.device_put(jnp.asarray(vks), sh)
+    packed = jax.device_put(jnp.asarray(packed_np), sh)
+    aggs = jax.device_put(jnp.asarray(aggs), sh)
+    return fn(vks, packed, aggs)
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=32)
+def _sharded_verify_fn(params: Params, mesh: Mesh, n_signers: int, chunk: int,
+                       lattice_chunk: int, axis: str, flags: tuple):
+    """Compiled shard_map program cache for :func:`sharded_verify_device`
+    (one entry per mesh/shape/pipeline-flavor combination)."""
+    from functools import partial as _partial
+
+    from ..scheme import device_pipeline as dpl
+
+    P = dpl.get_pipeline(params, n_signers)
+    P_spec = jax.sharding.PartitionSpec
+    local = _partial(P.fused_core, chunk=chunk, lattice_chunk=lattice_chunk)
+    return jax.jit(
+        jax.shard_map(
+            lambda v, p, a: local(v, p, a),
+            mesh=mesh,
+            in_specs=(P_spec(axis), P_spec(axis), P_spec(axis)),
+            out_specs=(P_spec(axis), P_spec(axis), P_spec(axis)),
+            check_vma=False,
+        )
+    )
+
+
 def _psum_mod(F, x_u32, axis_name: str):
     """Modular psum: partial residues in [0, q) summed over a mesh axis then
     reduced.  Safe for axis sizes up to 2**15 (limb headroom, see Field.sum_mod);

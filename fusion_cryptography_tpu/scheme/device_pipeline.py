@@ -121,7 +121,10 @@ def _pallas_selfcheck() -> bool:
     import threading
     import warnings
 
-    timeout_s = float(os.environ.get("FUSION_PALLAS_SELFCHECK_TIMEOUT", "120"))
+    # generous default: over the remote tunnel a cold kernel compile in a bad
+    # phase can exceed 2 min, and a timed-out selfcheck silently costs ~30%
+    # of verify throughput (the XLA-sponge fallback)
+    timeout_s = float(os.environ.get("FUSION_PALLAS_SELFCHECK_TIMEOUT", "420"))
     result = {"ok": False, "err": None}
 
     def _probe():
@@ -442,7 +445,8 @@ def _pipeline_cached(params: Params, n_signers: int, use_pallas: bool,
                      use_words: bool, device_prehash: bool,
                      pallas_sponge: bool = False,
                      pallas_assembly: bool = False,
-                     fused_prep: bool = False):
+                     fused_prep: bool = False,
+                     mxu_intt: bool = False):
     """Build the grouped-verify stage functions for one (params, N) shape and
     one pipeline-flavor flag tuple (the env knobs are folded into this cache
     key by :func:`get_pipeline`, so toggling them mid-process takes effect on
@@ -533,7 +537,14 @@ def _pipeline_cached(params: Params, n_signers: int, use_pallas: bool,
         agg_u = F.to_unsigned(aggs)
         observed = F.dot_mod(a_mont, agg_u, axis=-2)  # [G, d]
         eq = jnp.all(target == observed, axis=-1)
-        coef = F.to_centered(ntt_inv_u(plan, agg_u))  # [G, rank, d]
+        if mxu_intt:
+            # MXU dense INTT: linear in batch (the stage sweep falls off a
+            # VMEM cliff above ~512 groups — benchmarks/intt_cliff_lab.py)
+            from ..ops.ntt_mxu_pallas import ntt_inv_u_mxu_pallas
+
+            coef = F.to_centered(ntt_inv_u_mxu_pallas(plan, agg_u))
+        else:
+            coef = F.to_centered(ntt_inv_u(plan, agg_u))  # [G, rank, d]
         norm = jnp.max(jnp.abs(coef), axis=(-2, -1))
         norm_ok = norm <= np.int32(min(params.beta_vf, 2**31 - 1))
         # centered coefficients satisfy |coef| <= q//2 < q, so
@@ -663,9 +674,10 @@ def _pipeline_cached(params: Params, n_signers: int, use_pallas: bool,
     def fused_hash(vks, packed, chunk):
         return _hash_all(vks, packed, chunk)
 
-    @partial(jax.jit, static_argnums=(3, 4))
-    def fused_all(vks, packed, aggs, chunk, lattice_chunk):
-        """The whole grouped verify as ONE launch."""
+    def _fused_all_core(vks, packed, aggs, chunk, lattice_chunk):
+        """Traceable whole-verify body (also the per-shard body of
+        parallel/sharded.sharded_verify_device — each group's verify is
+        independent, so dp-sharding the groups axis needs no collectives)."""
         G = vks.shape[0]
         c_hat_u, al = _hash_all(vks, packed, chunk)
         nl = G // lattice_chunk
@@ -681,6 +693,8 @@ def _pipeline_cached(params: Params, n_signers: int, use_pallas: bool,
             )
             return eq.reshape(G), norm_ok.reshape(G), weight_ok.reshape(G)
         return j_lattice(vks, c_hat_u, al, aggs)
+
+    fused_all = jax.jit(_fused_all_core, static_argnums=(3, 4))
 
     @partial(jax.jit, static_argnums=(4, 5))
     def lattice_at_full(vks_full, c_hat_full, al, aggs_full, lo, size):
@@ -702,9 +716,11 @@ def _pipeline_cached(params: Params, n_signers: int, use_pallas: bool,
         lattice_at_full=lattice_at_full,
         fused_hash=fused_hash,
         fused_all=fused_all,
+        fused_core=_fused_all_core,
         prep=prep,
         prep_packed=prep_packed,
         device_prehash=device_prehash,
+        mxu_intt=mxu_intt,
         n_signers=N,
     )
 
@@ -739,8 +755,17 @@ def _env_flags():
         pallas_sponge and os.environ.get("FUSION_PALLAS_ASSEMBLY")
     )
     fused_prep = bool(os.environ.get("FUSION_FUSED_PREP"))
+    # MXU dense INTT for the lattice norm/weight check: default wherever the
+    # Pallas sponge runs (TPU + selfcheck), FUSION_MXU_INTT=0/1 overrides
+    mi_env = os.environ.get("FUSION_MXU_INTT")
+    if mi_env == "0":
+        mxu_intt = False
+    elif mi_env:
+        mxu_intt = _pallas_selfcheck()
+    else:
+        mxu_intt = pallas_sponge
     return (use_pallas, use_words, device_prehash, pallas_sponge,
-            pallas_assembly, fused_prep)
+            pallas_assembly, fused_prep, mxu_intt)
 
 
 def get_pipeline(params: Params, n_signers: int):
@@ -872,8 +897,9 @@ def _verify_windows(params, P, vks, messages, aggs, group_chunk, group_hash_chun
             and G % group_chunk == 0):
         packed_full = jnp.asarray(P.prep_packed(msgs).reshape(G, N, -1))
         if mode == "all":
-            return P.fused_all(vks, packed_full, aggs, group_chunk,
-                               _lattice_chunk(G, group_chunk))
+            # with the MXU INTT the lattice scales linearly — no sub-chunking
+            lc = G if P.mxu_intt else _lattice_chunk(G, group_chunk)
+            return P.fused_all(vks, packed_full, aggs, group_chunk, lc)
         c_hat_full, al = P.fused_hash(vks, packed_full, group_chunk)
         outs = [
             P.lattice_at_full(vks, c_hat_full, al, aggs, lo, hi - lo)

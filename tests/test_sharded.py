@@ -97,3 +97,50 @@ def test_sharded_with_hash_derived_coeffs(params, mesh_shape):
     # and the host verifier accepts the sharded aggregate
     ok, why = lc.verify(params, keys.vk_np(), msgs, got[: params.rank])
     assert ok, why
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("dp_size", [8, 4])
+def test_sharded_device_verify(dp_size):
+    """The flagship all-on-device verify pipeline under shard_map over dp
+    (groups axis) must be bitwise identical to the single-device fused path."""
+    from fusion_cryptography_tpu.parallel.sharded import sharded_verify_device
+    from fusion_cryptography_tpu.scheme import device_pipeline as dp_mod
+
+    params = ftpu.fusion_setup(128, 7)
+    G, N = 8, 2
+    keys = ftpu.keygen(params, [400 + k for k in range(G * N)])
+    msgs = [f"sv{g}:{i}" for g in range(G) for i in range(N)]
+    sigs = ftpu.sign(params, keys, msgs)
+    vk_np = keys.vk_np()
+    reprs = keys.vk_strs()
+    order = np.empty((G, N), dtype=np.int64)
+    for g in range(G):
+        idx = list(range(g * N, (g + 1) * N))
+        idx.sort(key=lambda i: reprs[i])
+        order[g] = idx
+    flat = order.reshape(-1)
+    s_reprs = [reprs[i] for i in flat]
+    s_msgs = [msgs[i] for i in flat]
+    cc, al = lc.derive_alphas_grouped(params, s_reprs, s_msgs, G, N)
+    sig_np = np.asarray(sigs.sig)
+    aggs = np.asarray(
+        lc._ctx(params)["aggregate_core"](jnp.asarray(sig_np[order]), jnp.asarray(al))
+    )
+    vks = vk_np[order]
+    # tamper one group so the verdict vector is non-trivial
+    bad = aggs.copy()
+    bad[G // 2, 0, 0] = (bad[G // 2, 0, 0] + 1) % params.modulus
+
+    want = tuple(
+        np.asarray(x)
+        for x in dp_mod.verify_batch_device(params, vks, s_msgs, bad, group_chunk=4)
+    )
+    mesh = make_mesh((dp_size, 8 // dp_size))
+    got = tuple(
+        np.asarray(x)
+        for x in sharded_verify_device(params, mesh, vks, s_msgs, bad)
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    assert not bool(got[0][G // 2]) and bool(got[0][0])
