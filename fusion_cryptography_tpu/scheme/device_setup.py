@@ -29,7 +29,7 @@ Exactness notes:
 """
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import List, Sequence, Tuple
 
 import jax
@@ -175,6 +175,20 @@ def vk_sort_ranks(params: Params, vk, n_signers: int):
 # ---------------------------------------------------------------------------
 
 
+@lru_cache(maxsize=8)
+def _take_fn(params: Params):
+    @partial(jax.jit, static_argnums=(3, 4))
+    def take(sk_hat_u, vk, oflat, G, N):
+        """Sort-order gather for both key tensors in ONE launch."""
+        d = params.degree
+        return (
+            jnp.take(sk_hat_u, oflat, axis=0),
+            jnp.take(vk, oflat, axis=0).reshape(G, N, 2, d),
+        )
+
+    return take
+
+
 @lru_cache(maxsize=16)
 def _math_fn(params: Params, n_signers: int):
     plan = params.plan
@@ -228,7 +242,9 @@ def build_fleet(
         messages = [f"group{g}:msg{i}" for g in range(G) for i in range(N)]
 
     sk = _sample_sk(params, [seed0 + k for k in range(B)])
-    sk_hat_u, vk = _keygen_fn(params)(jnp.asarray(sk))
+    # short coefficients are bounded by beta_sk <= 52 (fusion.py:30-31): an
+    # int8 upload is 4x smaller over the tunnel (the fleet's largest transfer)
+    sk_hat_u, vk = _keygen_fn(params)(jnp.asarray(sk.astype(np.int8)))
 
     # the reference sorts signer tuples by str(vk) inside each group; the
     # ranks come off the device as G*N ints (vs round 3's 64 MB vk pull +
@@ -239,12 +255,20 @@ def build_fleet(
     s_msgs = [messages[i] for i in flat]
 
     oflat = jnp.asarray(flat)
-    sk_s = jnp.take(sk_hat_u, oflat, axis=0)
-    vk_s = jnp.take(vk, oflat, axis=0)
-    vks = vk_s.reshape(G, N, 2, d)
+    sk_s, vks = _take_fn(params)(sk_hat_u, vk, oflat, G, N)
 
     P = dp.get_pipeline(params, N)
     j_math = _math_fn(params, N)
+    chunk = max(1, min(group_chunk, G))
+    while G % chunk:
+        chunk //= 2
+    if getattr(P, "fused_hash", None) is not None and P.device_prehash:
+        # round-5 launch diet: ONE packed upload + the verifier's fused
+        # one-launch hash program + one math launch (vs ~5 launches/chunk)
+        packed = jnp.asarray(P.prep_packed(s_msgs).reshape(G, N, -1))
+        c_hat_u, al = P.fused_hash(vks, packed, chunk)
+        sigs, aggs = j_math(sk_s, c_hat_u, al)
+        return vks, s_msgs, aggs
     sig_parts, agg_parts = [], []
     for lo, hi in dp._launch_chunks(G, group_chunk):
         pb, pl = P.prep(s_msgs[lo * N : hi * N])
