@@ -195,5 +195,108 @@ def main():
             print(f"{label}: FAILED {type(e).__name__}: {e}", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--fold-pallas" not in sys.argv:
     main()
+
+
+def fold_pallas_main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--groups", type=int, default=2048)
+    ap.add_argument("--tile", type=int, default=128)
+    args, _ = ap.parse_known_args()
+    B, G, tile = args.batch, args.groups, args.tile
+    N, d = 4, 256
+
+    from fusion_cryptography_tpu.ops import fold_pallas as fp
+
+    params = ftpu.fusion_setup(256, 42)
+    g = dp._geometries(params)
+    rng = np.random.default_rng(5)
+    q = params.modulus
+    vk2d_t = jnp.asarray(rng.integers(-(q // 2), q // 2 + 1, (2 * d, B),
+                                      dtype=np.int64).astype(np.int32))
+    c_hat_t = jnp.asarray(rng.integers(-(q // 2), q // 2 + 1, (d, B),
+                                       dtype=np.int64).astype(np.int32))
+    pre_w = jnp.asarray(rng.integers(ord("0"), ord("9"), (20, B),
+                                     dtype=np.int64).astype(np.uint32))
+    pre_len = jnp.full((B,), 77, jnp.int32)
+    print(f"device={jax.devices()[0]}  B={B} tile={tile}", flush=True)
+
+    def as_carry(y, like):
+        flat = y.reshape(-1)
+        n = int(np.prod(like.shape))
+        if flat.size < n:
+            flat = jnp.tile(flat, -(-n // flat.size))
+        return (flat[:n].reshape(like.shape).astype(like.dtype) % np.int32(97),)
+
+    def fold_a(args_):
+        (v,) = args_
+        chb, cht, vkb, vkl = fp.signer_fold_a(params, v, pre_w, pre_len, tile=tile)
+        return as_carry(chb.astype(jnp.int32) + vkb[:1].astype(jnp.int32), v)
+
+    per = rate(fold_a, (vk2d_t,), label=f"PALLAS fold_a (vk+ch) [B={B}]")
+    print(f"    -> {per / B * 1e6 * N:8.3f} us/group(x{N})", flush=True)
+
+    chb, cht, vkb, vkl = jax.jit(
+        lambda v: fp.signer_fold_a(params, v, pre_w, pre_len, tile=tile))(vk2d_t)
+    vkb = jnp.asarray(np.asarray(vkb)); vkl = jnp.asarray(np.asarray(vkl))
+
+    def fold_b(args_):
+        (v,) = args_
+        trib, trit = fp.signer_fold_b(params, vkb, vkl, pre_w, pre_len,
+                                      v[:d], tile=tile)
+        return as_carry(trib.astype(jnp.int32), v)
+
+    per = rate(fold_b, (vk2d_t,), label=f"PALLAS fold_b (triple) [B={B}]")
+    print(f"    -> {per / B * 1e6 * N:8.3f} us/group(x{N})", flush=True)
+
+    # parity on-TPU at scale (compiled, not interpret)
+    from fusion_cryptography_tpu.interop import device_serial as ds
+    from fusion_cryptography_tpu.ops import ragged_words as rw
+    ch_spec = ds.challenge_preimage_spec(params)
+    pre_chunk = rw.WChunk(buf=pre_w, length=pre_len, max_len=ds.PREHASH_W, min_len=1)
+    pad_ch = -(-(ch_spec.out_max + 1) // 136) * 34
+    want_chb, want_cht = jax.jit(lambda v: ds.fold_challenge_preimage_w(
+        params, ds.vk_chunk_w(params, v), pre_chunk, pad_words=pad_ch))(vk2d_t)
+    ok = np.array_equal(np.asarray(want_chb), np.asarray(chb)) and \
+         np.array_equal(np.asarray(want_cht), np.asarray(cht))
+    print(f"fold_a parity on TPU: {'OK' if ok else 'MISMATCH'}", flush=True)
+
+    want_trib, want_trit = jax.jit(lambda v: ds.fold_triple_w(
+        params, ds.vk_chunk_w(params, v), pre_chunk, v[:d]))(vk2d_t)
+    got_trib, got_trit = jax.jit(lambda v: fp.signer_fold_b(
+        params, vkb, vkl, pre_w, pre_len, v[:d], tile=tile))(vk2d_t)
+    ok = np.array_equal(np.asarray(want_trib), np.asarray(got_trib)) and \
+         np.array_equal(np.asarray(want_trit), np.asarray(got_trit))
+    print(f"fold_b parity on TPU: {'OK' if ok else 'MISMATCH'}", flush=True)
+
+    # agg fold at G lanes
+    tbs = [jnp.asarray(np.asarray(want_trib[:, k * G:(k + 1) * G])) for k in range(N)]
+    tls = [jnp.asarray(np.asarray(want_trit[k * G:(k + 1) * G])) for k in range(N)]
+
+    def fold_g(args_):
+        (v,) = args_
+        ob, ot = fp.agg_fold(params, N, tbs, tls, tile=tile)
+        return as_carry(ob.astype(jnp.int32), v)
+
+    gcarry = (jnp.asarray(rng.integers(0, 97, (64, G), dtype=np.int64
+                                       ).astype(np.int32)),)
+    per = rate(fold_g, gcarry, label=f"PALLAS agg fold [G={G}]")
+    print(f"    -> {per / G * 1e6:8.3f} us/group", flush=True)
+
+    agg_spec = ds.agg_preimage_spec(params, N, ds.triple_spec(params).out_max)
+    tri_min = ds.spec_min_total(ds.triple_spec(params), [1])
+    pad_agg = -(-(agg_spec.out_max + 1) // 136) * 34
+    want_b, want_t = jax.jit(lambda: ds.assemble_chunks_words(
+        agg_spec, values=None, extras=list(zip(tbs, tls)),
+        extra_bounds=[(tri_min, ds.triple_spec(params).out_max)] * N,
+        pad_words=pad_agg))()
+    got_b, got_t = jax.jit(lambda: fp.agg_fold(params, N, tbs, tls, tile=tile))()
+    ok = np.array_equal(np.asarray(want_b), np.asarray(got_b)) and \
+         np.array_equal(np.asarray(want_t), np.asarray(got_t))
+    print(f"agg fold parity on TPU: {'OK' if ok else 'MISMATCH'}", flush=True)
+
+
+if __name__ == "__main__" and "--fold-pallas" in sys.argv:
+    fold_pallas_main()

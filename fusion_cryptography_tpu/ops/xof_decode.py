@@ -211,37 +211,27 @@ def _fy_place_lm(vals, j_all, geom: DecodeGeometry):
     d, w = geom.degree, geom.weight_bound
     B = vals.shape[-1]
     S = geom.num_swaps
-    i_vals = np.arange(d - 1, w, -1)  # [S]
-    p0 = jnp.broadcast_to(jnp.arange(w, dtype=_I32)[:, None], (w, B))
 
-    # On the accelerator the swap chain is fully unrolled at trace time: S is
-    # static (195 in production) and each step is ~6 elementwise ops on
-    # [w, B], so per-iteration scan latency dominates the arithmetic by >10x.
-    # On CPU (the test suite) a partially-unrolled scan keeps compiles fast.
-    try:
-        full = jax.default_backend() != "cpu"
-    except Exception:  # pragma: no cover
-        full = False
-    if full:
-        pos = p0
-        for t in range(S):
-            i_t = np.int32(i_vals[t])
-            j = j_all[t][None, :]  # [1, B]
-            at_i = (pos == i_t).astype(_I32)
-            at_j = (pos == j).astype(_I32)
-            pos = pos + at_i * (j - i_t) + at_j * (i_t - j)
-    else:
-
-        def swap(p, xs):
-            i_t, j_t = xs  # scalar int32, [B]
-            j = j_t[None, :]
-            at_i = (p == i_t).astype(_I32)
-            at_j = (p == j).astype(_I32)
-            return p + at_i * (j - i_t) + at_j * (i_t - j), None
-
-        pos, _ = jax.lax.scan(
-            swap, p0, (jnp.asarray(i_vals, _I32), j_all), unroll=16
-        )
+    # CLOSED FORM of the partial-Fisher-Yates swap chain (round 5): because
+    # the swap sources i_t = d-1-t descend strictly and every live value
+    # starts at a position m < w < w+1 <= i_t, a live value can only ever be
+    # hit through j_t == m; the swap parks it at i_t, and NO later swap can
+    # reach it (later i_t' < i_t and j_t' <= i_t' < i_t, while the zero that
+    # arrived at slot m makes any later j_t' == m a no-op for live values).
+    # So each value moves AT MOST ONCE, at the FIRST t with j_t == m:
+    #
+    #   pos[m] = d-1-first_t[m]  if first_t[m] < S else m
+    #
+    # One fused first-hit min-reduce over [S, w, B] replaces the round-4
+    # sequential 195-step tracked-position chain (the chain's dependent
+    # [w, B] passes were the decode stage's dominant cost — ~2.5 ms of the
+    # 3.7 ms challenge decode at B=8192).  Bit-exactness vs the host decoder
+    # is asserted in tests/test_xof_decode.py.
+    t_idx = jnp.arange(S, dtype=_I32)[:, None, None]  # [S, 1, 1]
+    m_idx = jnp.arange(w, dtype=_I32)[:, None]  # [w, 1]
+    hit = j_all[:, None, :] == m_idx[None, :, :]  # [S, w, B]
+    first_t = jnp.min(jnp.where(hit, t_idx, np.int32(S)), axis=0)  # [w, B]
+    pos = jnp.where(first_t < S, np.int32(d - 1) - first_t, m_idx)  # [w, B]
     iota_d = jax.lax.broadcasted_iota(_I32, (1, d, 1), 1)
     hits = (pos[:, None, :] == iota_d).astype(_I32)  # [w, d, B]
     return jnp.sum(vals[:, None, :] * hits, axis=0)  # [d, B]
