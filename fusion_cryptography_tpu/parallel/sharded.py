@@ -201,10 +201,8 @@ def sharded_verify_device(params: Params, mesh: Mesh, vks, messages, aggs,
     if G % ndp:
         raise ValueError(f"G={G} must be divisible by the {axis} axis ({ndp})")
     Gl = G // ndp
-    chunk = max(1, min(group_chunk, Gl))
-    while Gl % chunk:
-        chunk //= 2
     P = dpl.get_pipeline(params, N)
+    chunk = dpl._fused_chunk(P, Gl, group_chunk)
     msgs = list(messages)
     if len(msgs) != G * N:
         raise ValueError(f"need {G * N} messages, got {len(msgs)}")

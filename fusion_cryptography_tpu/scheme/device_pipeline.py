@@ -635,7 +635,17 @@ def _pipeline_cached(params: Params, n_signers: int, use_pallas: bool,
 
     def _signer_chunk_body(vkc, pkc):
         """One chunk: vkc i32[c, N, 2, d], pkc u32[c, N, Wt+1] ->
-        (c_hat_u u32[cN, d], tbuf u32[Lw, cN], tlen i32[cN])."""
+        (c_hat_u u32[cN, d], al i32[c, N, d]).
+
+        The GROUP hash runs here too, per chunk: every chunk holds complete
+        groups (all N signers), so its aggregation preimages close over the
+        chunk's own triple buffers — the [Lw, G, N] triple stack, its
+        moveaxis, and the per-signer slice relayouts (~1.3 GB of HBM traffic
+        per verify at G=8192) never materialize.  Inside the fused jit there
+        is no launch-count reason to batch the group hash wider, and the
+        chunk's group-count lanes (>= 128 at chunk >= 128) keep the VPU full.
+        """
+        c = vkc.shape[0]
         ml = pkc[:, :, -1].astype(_I32)
         mw = pkc[:, :, :-1]
         pre_w, pre_len = signer_stage.prehash(
@@ -643,32 +653,30 @@ def _pipeline_cached(params: Params, n_signers: int, use_pallas: bool,
         )
         vk2d_t = _dl(vkc.reshape(-1, 2 * d).T)
         _cc, c_hat_u, tbuf, tlen = signer_stage(vk2d_t, _dl(pre_w), pre_len)
-        return c_hat_u, tbuf, tlen
+        tb = tbuf.reshape(tbuf.shape[0], c, N)
+        tl = tlen.reshape(c, N)
+        al = group_stage.parts(
+            [_dl(tb[:, :, k]) for k in range(N)],
+            [tl[:, k] for k in range(N)],
+        )
+        return c_hat_u, al
 
     def _hash_all(vks, packed, chunk: int):
-        """signer lax.map over chunks + one full-window group stage ->
+        """signer + group hashing as a lax.map over complete-group chunks ->
         (c_hat_u u32[G*N, d], al i32[G, N, d])."""
         G = vks.shape[0]
         nc = G // chunk
         vkr = vks.reshape(nc, chunk, N, 2, d)
         pkr = packed.reshape(nc, chunk, N, packed.shape[-1])
         if nc > 1:
-            c_hat_u, tbuf, tlen = jax.lax.map(
+            c_hat_u, al = jax.lax.map(
                 lambda c: _signer_chunk_body(*c), (vkr, pkr)
             )
         else:
-            c_hat_u, tbuf, tlen = jax.tree_util.tree_map(
+            c_hat_u, al = jax.tree_util.tree_map(
                 lambda x: x[None], _signer_chunk_body(vkr[0], pkr[0])
             )
-        # [nc, Lw, cN] -> [Lw, G, N]; strided per-signer views need the
-        # default-layout constraint just like the transposes above
-        tb = jnp.moveaxis(tbuf, 0, 1).reshape(tbuf.shape[1], G, N)
-        tl = tlen.reshape(G, N)
-        al = group_stage.parts(
-            [_dl(tb[:, :, k]) for k in range(N)],
-            [tl[:, k] for k in range(N)],
-        )
-        return c_hat_u.reshape(G * N, d), al
+        return c_hat_u.reshape(G * N, d), al.reshape(G, N, d)
 
     @partial(jax.jit, static_argnums=(2,))
     def fused_hash(vks, packed, chunk):
@@ -721,6 +729,7 @@ def _pipeline_cached(params: Params, n_signers: int, use_pallas: bool,
         prep_packed=prep_packed,
         device_prehash=device_prehash,
         mxu_intt=mxu_intt,
+        pallas_sponge=pallas_sponge,
         n_signers=N,
     )
 
@@ -805,6 +814,19 @@ def _fused_mode() -> str:
     if mode not in ("off", "hash", "all"):
         raise ValueError(f"FUSION_FUSED_MODE must be off/hash/all, got {mode!r}")
     return mode
+
+
+def _fused_chunk(P, G: int, group_chunk: int) -> int:
+    """Chunk size for the fused hash program.  The per-chunk GROUP sponge
+    needs the chunk (its lane count) to tile into the Pallas sponge's 1024-
+    lane minimum; bump small chunks when G allows (the signer half measures
+    within ~3% between 512 and 1024)."""
+    chunk = max(1, min(group_chunk, G))
+    while G % chunk:
+        chunk //= 2
+    if getattr(P, "pallas_sponge", False) and chunk % 1024 and G % 1024 == 0:
+        chunk = max(chunk, 1024)
+    return chunk
 
 
 def _lattice_chunk(G: int, group_chunk: int) -> int:
@@ -896,11 +918,12 @@ def _verify_windows(params, P, vks, messages, aggs, group_chunk, group_hash_chun
     if (mode != "off" and packed_path and not want_coeffs
             and G % group_chunk == 0):
         packed_full = jnp.asarray(P.prep_packed(msgs).reshape(G, N, -1))
+        chunk_f = _fused_chunk(P, G, group_chunk)
         if mode == "all":
             # with the MXU INTT the lattice scales linearly — no sub-chunking
             lc = G if P.mxu_intt else _lattice_chunk(G, group_chunk)
-            return P.fused_all(vks, packed_full, aggs, group_chunk, lc)
-        c_hat_full, al = P.fused_hash(vks, packed_full, group_chunk)
+            return P.fused_all(vks, packed_full, aggs, chunk_f, lc)
+        c_hat_full, al = P.fused_hash(vks, packed_full, chunk_f)
         outs = [
             P.lattice_at_full(vks, c_hat_full, al, aggs, lo, hi - lo)
             for lo, hi in chunks

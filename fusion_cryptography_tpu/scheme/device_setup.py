@@ -259,9 +259,7 @@ def build_fleet(
 
     P = dp.get_pipeline(params, N)
     j_math = _math_fn(params, N)
-    chunk = max(1, min(group_chunk, G))
-    while G % chunk:
-        chunk //= 2
+    chunk = dp._fused_chunk(P, G, group_chunk)
     if getattr(P, "fused_hash", None) is not None and P.device_prehash:
         # round-5 launch diet: ONE packed upload + the verifier's fused
         # one-launch hash program + one math launch (vs ~5 launches/chunk)
