@@ -347,11 +347,27 @@ def sample_short_batch(seeds: Sequence[int], degree: int, norm_bound: int,
     lib = _load()
     s = np.asarray(list(seeds), dtype=np.uint64)
     out = np.empty((len(s), degree), dtype=np.int32)
-    lib.fn_sample_short_batch(
-        s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(s), degree,
-        norm_bound, weight_bound, modulus,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-    )
+
+    def run(lo: int, hi: int) -> None:
+        lib.fn_sample_short_batch(
+            s[lo:hi].ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), hi - lo,
+            degree, norm_bound, weight_bound, modulus,
+            out[lo:hi].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+
+    # ctypes releases the GIL for the C call, and per-seed MT19937 init
+    # dominates the sampling cost, so large batches parallelize across host
+    # cores (disjoint output slices; each seed's stream is independent)
+    n_threads = min(os.cpu_count() or 1, max(1, len(s) // 2048))
+    if n_threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        step = -(-len(s) // n_threads)
+        with ThreadPoolExecutor(n_threads) as ex:
+            list(ex.map(lambda lo: run(lo, min(lo + step, len(s))),
+                        range(0, len(s), step)))
+    else:
+        run(0, len(s))
     return out
 
 

@@ -176,6 +176,19 @@ def vk_sort_ranks(params: Params, vk, n_signers: int):
 
 
 @lru_cache(maxsize=8)
+def _concat_fn(params: Params):
+    @jax.jit
+    def cat(*parts):
+        """Interleaved (sk_hat_u, vk) slice pairs -> two concatenated tensors
+        in ONE launch."""
+        sks = parts[0::2]
+        vks = parts[1::2]
+        return jnp.concatenate(sks, axis=0), jnp.concatenate(vks, axis=0)
+
+    return cat
+
+
+@lru_cache(maxsize=8)
 def _take_fn(params: Params):
     @partial(jax.jit, static_argnums=(3, 4))
     def take(sk_hat_u, vk, oflat, G, N):
@@ -241,10 +254,21 @@ def build_fleet(
     if messages is None:
         messages = [f"group{g}:msg{i}" for g in range(G) for i in range(N)]
 
-    sk = _sample_sk(params, [seed0 + k for k in range(B)])
-    # short coefficients are bounded by beta_sk <= 52 (fusion.py:30-31): an
-    # int8 upload is 4x smaller over the tunnel (the fleet's largest transfer)
-    sk_hat_u, vk = _keygen_fn(params)(jnp.asarray(sk.astype(np.int8)))
+    # Sample + keygen in slices: host MT19937 sampling of slice k+1 overlaps
+    # the device keygen of slice k (dispatch is asynchronous), and the short
+    # coefficients upload as int8 (beta_sk <= 52, fusion.py:30-31 — 4x
+    # smaller over the tunnel, the fleet's largest transfer).
+    n_slices = 4 if B >= 16384 else 1
+    step = -(-B // n_slices)
+    parts = []
+    for lo in range(0, B, step):
+        hi = min(B, lo + step)
+        sk = _sample_sk(params, [seed0 + k for k in range(lo, hi)])
+        parts.append(_keygen_fn(params)(jnp.asarray(sk.astype(np.int8))))
+    if len(parts) == 1:
+        sk_hat_u, vk = parts[0]
+    else:
+        sk_hat_u, vk = _concat_fn(params)(*[x for p in parts for x in p])
 
     # the reference sorts signer tuples by str(vk) inside each group; the
     # ranks come off the device as G*N ints (vs round 3's 64 MB vk pull +
