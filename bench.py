@@ -53,9 +53,23 @@ def main():
     ap.add_argument("--host-pipeline", action="store_true",
                     help="use the host-keccak hash path (scheme/lifecycle) "
                          "instead of the on-device pipeline")
+    ap.add_argument("--force-cpu-devices", type=int, default=0,
+                    help="debug: run on N virtual CPU devices (exercises the "
+                         "multi-device sharded branch without TPU hardware)")
     args = ap.parse_args()
 
+    if args.force_cpu_devices:
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.force_cpu_devices}"
+        )
+
     import jax
+
+    if args.force_cpu_devices:
+        jax.config.update("jax_platforms", "cpu")
 
     # Persistent compilation cache: remote-TPU compiles are slow (30 s - 3 min
     # per kernel); cache them across bench runs.
@@ -91,6 +105,38 @@ def main():
     log(f"warm keygen+sign+aggregate: {G*N} keys in {fleet_dt:.2f}s "
         f"-> {fleet_rate:,.0f} keys/s/chip")
     del vks2, msgs2, aggs2
+
+    # Multi-chip: when a real multi-device backend is attached, run the
+    # sharded flagship pipeline (shard_map over dp on the groups axis) and
+    # report scaling efficiency alongside the single-chip number.  On this
+    # deployment jax.devices() is one tunneled chip, so this is dormant until
+    # hardware appears — the virtual-mesh dryrun covers the code path.
+    n_dev = len(jax.devices())
+    sharding_extras = {}
+    if n_dev > 1 and not args.host_pipeline:
+        from jax.sharding import Mesh
+
+        from fusion_cryptography_tpu.parallel.sharded import sharded_verify_device
+
+        mesh = Mesh(np.array(jax.devices()), ("dp",))
+
+        def run_sharded():
+            eq, _, _ = sharded_verify_device(params, mesh, vks, msgs, aggs)
+            return eq
+
+        eq = np.asarray(run_sharded())
+        assert eq.all()
+        t0 = time.time()
+        eqs = [run_sharded() for _ in range(args.reps)]
+        for e in eqs:
+            assert np.asarray(e).all()
+        dt = time.time() - t0
+        sharded_vps = args.reps * G / dt
+        sharding_extras = {
+            "sharded_verifies_per_s": round(sharded_vps, 1),
+            "n_devices": n_dev,
+        }
+        log(f"sharded over {n_dev} devices: {sharded_vps:,.0f} verifies/s")
 
     if args.host_pipeline:
         from fusion_cryptography_tpu.interop import serial
@@ -137,6 +183,10 @@ def main():
     vps = R * G / dt
     metric = ("aggregate_verify_throughput_hostpipe" if args.host_pipeline
               else "aggregate_verify_throughput")
+    if "sharded_verifies_per_s" in sharding_extras:
+        sharding_extras["scaling_efficiency"] = round(
+            sharding_extras["sharded_verifies_per_s"] / (vps * n_dev), 3
+        )
     log(f"steady-state: {R*G} verifies in {dt:.3f}s")
     print(json.dumps({
         "metric": f"{metric}_secpar{args.secpar}_N{N}",
@@ -148,6 +198,7 @@ def main():
         "extras": {
             "keygen_sign_aggregate_keys_per_s": round(fleet_rate, 1),
             "keygen_sign_aggregate_keys": G * N,
+            **sharding_extras,
         },
     }))
 
