@@ -170,6 +170,90 @@ def ntt_inv_u_mxu_pallas(plan: NTTPlan, x, tile: int = 256,
     return _run_u(plan, x, inverse=True, tile=tile, interpret=interpret)
 
 
+@lru_cache(maxsize=None)
+def _build_norm_weight(plan: NTTPlan, tile: int, interpret: bool):
+    """INTT + per-row norm/weight reduction in ONE kernel: the verify path
+    only needs max|centered coefficient| and the nonzero count per polynomial
+    (fusion.py:722-727), so the [M, d] coefficient tensor — plus its centered
+    copy and the two reduction passes over it (~3.5 GB of HBM traffic per
+    G=8192 verify) — stays in VMEM and only [M, 1] row statistics come out."""
+    F = plan.field
+    d = plan.degree
+    wb_np, fold, fold_sh = _tables(plan, inverse=True)
+    qu = np.uint32(plan.modulus)
+
+    def kernel(x_ref, w_ref, nrm_ref, wgt_ref):
+        x = x_ref[:]
+        tbs = []
+        for b in range(4):
+            xb = (
+                ((x >> np.uint32(8 * b)) & np.uint32(0xFF))
+                .astype(jnp.int32)
+                .astype(jnp.bfloat16)
+            )
+            tbs.append(jax.lax.dot_general(
+                xb, w_ref[b],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        acc = None
+        for a in range(4):
+            s = None
+            for b in range(4):
+                p = tbs[b][:, a * d : (a + 1) * d].astype(jnp.int32)
+                s = p if s is None else s + p
+            pu = s.astype(_U32)
+            hi, _ = widening_mul(pu, np.uint32(fold_sh[a]))
+            r = pu * np.uint32(fold[a]) - hi * qu
+            term = jnp.where(r >= qu, r - qu, r)
+            acc = term if acc is None else F.add_mod(acc, term)
+        # |centered(u)| = min(u, q - u) for residues in [0, q) (u=0 -> 0)
+        cent_abs = jnp.minimum(acc, qu - acc)
+        nrm_ref[:] = jnp.max(cent_abs, axis=1, keepdims=True).astype(jnp.int32)
+        wgt_ref[:] = jnp.sum((acc != 0).astype(jnp.int32), axis=1,
+                             keepdims=True)
+
+    def call(x2):
+        n = x2.shape[0]
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((n, 1), jnp.int32),
+                jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            ),
+            grid=(n // tile,),
+            in_specs=[
+                pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, d, 4 * d), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+        )(x2, jnp.asarray(wb_np))
+
+    return call
+
+
+def intt_norm_weight_mxu_pallas(plan: NTTPlan, x, tile: int = 256,
+                                interpret: bool = False):
+    """u32[..., d] NTT-domain residues -> (max |centered coef| int32[...],
+    nonzero-coef count int32[...]) per polynomial — bit-identical to
+    reducing ops/ntt.ntt_inv_u's centered output (reference norm/weight
+    semantics, fusion.py:722-727) without materializing the coefficients."""
+    d = plan.degree
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, d)
+    n = x2.shape[0]
+    n_pad = -(-n // tile) * tile
+    if n_pad != n:
+        x2 = jnp.concatenate([x2, jnp.zeros((n_pad - n, d), _U32)], axis=0)
+    nrm, wgt = _build_norm_weight(plan, tile, interpret)(x2)
+    return nrm[:n, 0].reshape(lead), wgt[:n, 0].reshape(lead)
+
+
 def ntt_fwd_u_mxu_pallas(plan: NTTPlan, x, tile: int = 256,
                          interpret: bool = False):
     """MXU dense forward NTT on unsigned residues — bit-identical to

@@ -538,19 +538,23 @@ def _pipeline_cached(params: Params, n_signers: int, use_pallas: bool,
         observed = F.dot_mod(a_mont, agg_u, axis=-2)  # [G, d]
         eq = jnp.all(target == observed, axis=-1)
         if mxu_intt:
-            # MXU dense INTT: linear in batch (the stage sweep falls off a
-            # VMEM cliff above ~512 groups — benchmarks/intt_cliff_lab.py)
-            from ..ops.ntt_mxu_pallas import ntt_inv_u_mxu_pallas
+            # MXU dense INTT fused with the per-row norm/weight reductions:
+            # linear in batch (the stage sweep falls off a VMEM cliff above
+            # ~512 groups — benchmarks/intt_cliff_lab.py) and the [G, rank,
+            # d] coefficient tensor never reaches HBM
+            from ..ops.ntt_mxu_pallas import intt_norm_weight_mxu_pallas
 
-            coef = F.to_centered(ntt_inv_u_mxu_pallas(plan, agg_u))
+            nrm, wgt = intt_norm_weight_mxu_pallas(plan, agg_u)  # [G, rank]
+            norm = jnp.max(nrm, axis=-1)
+            weight = jnp.max(wgt, axis=-1)
         else:
             coef = F.to_centered(ntt_inv_u(plan, agg_u))  # [G, rank, d]
-        norm = jnp.max(jnp.abs(coef), axis=(-2, -1))
+            norm = jnp.max(jnp.abs(coef), axis=(-2, -1))
+            # centered coefficients satisfy |coef| <= q//2 < q, so
+            # coef % q != 0  <=>  coef != 0 (no 43M-element division);
+            # reference semantics: fusion.py:726-727 over centered values
+            weight = jnp.max(jnp.sum((coef != 0).astype(_I32), axis=-1), axis=-1)
         norm_ok = norm <= np.int32(min(params.beta_vf, 2**31 - 1))
-        # centered coefficients satisfy |coef| <= q//2 < q, so
-        # coef % q != 0  <=>  coef != 0 (no 43M-element division needed);
-        # reference semantics: fusion.py:726-727 weight over centered values
-        weight = jnp.max(jnp.sum((coef != 0).astype(_I32), axis=-1), axis=-1)
         weight_ok = weight <= np.int32(params.omega_vf)
         return eq, norm_ok, weight_ok
 

@@ -27,6 +27,26 @@ def test_mxu_pallas_matches_stage_sweep(d, root):
     np.testing.assert_array_equal(got_i, np.asarray(x))
 
 
+def test_mxu_norm_weight_matches_explicit():
+    from fusion_cryptography_tpu.ops.field import FUSION_FIELD as F
+    from fusion_cryptography_tpu.ops.ntt_mxu_pallas import (
+        intt_norm_weight_mxu_pallas,
+    )
+
+    plan = make_plan(Q, 256, 3337519)
+    rng = np.random.default_rng(4)
+    # include sparse rows so the nonzero count varies
+    x = rng.integers(0, Q, size=(6, 5, 256), dtype=np.int64).astype(np.uint32)
+    x[0, 0] = 0
+    xj = jnp.asarray(x)
+    nrm, wgt = intt_norm_weight_mxu_pallas(plan, xj, tile=8, interpret=True)
+    import jax
+
+    coef = np.asarray(F.to_centered(ntt_inv_u(plan, xj)))
+    np.testing.assert_array_equal(np.asarray(nrm), np.abs(coef).max(axis=-1))
+    np.testing.assert_array_equal(np.asarray(wgt), (coef != 0).sum(axis=-1))
+
+
 def test_mxu_pallas_multidim_and_padding():
     plan = make_plan(Q, 256, 3337519)
     rng = np.random.default_rng(9)
