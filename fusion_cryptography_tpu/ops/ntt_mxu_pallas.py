@@ -207,9 +207,12 @@ def _build_norm_weight(plan: NTTPlan, tile: int, interpret: bool):
             r = pu * np.uint32(fold[a]) - hi * qu
             term = jnp.where(r >= qu, r - qu, r)
             acc = term if acc is None else F.add_mod(acc, term)
-        # |centered(u)| = min(u, q - u) for residues in [0, q) (u=0 -> 0)
-        cent_abs = jnp.minimum(acc, qu - acc)
-        nrm_ref[:] = jnp.max(cent_abs, axis=1, keepdims=True).astype(jnp.int32)
+        # |centered(u)| = min(u, q - u) for residues in [0, q) (u=0 -> 0);
+        # all in i32 (residues < q < 2^31): Mosaic legalizes neither
+        # unsigned min nor unsigned reductions
+        ai = acc.astype(jnp.int32)
+        cent_abs = jnp.minimum(ai, np.int32(plan.modulus) - ai)
+        nrm_ref[:] = jnp.max(cent_abs, axis=1, keepdims=True)
         wgt_ref[:] = jnp.sum((acc != 0).astype(jnp.int32), axis=1,
                              keepdims=True)
 
