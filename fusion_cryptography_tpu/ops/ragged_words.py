@@ -201,6 +201,104 @@ def shift_left_w(buf, s, max_s: int):
     return buf
 
 
+def shift_right_w_dyn(buf, r, max_r: int):
+    """Shift strings RIGHT by per-lane dynamic byte counts ``r`` (zero fill):
+    byte j of the output is byte j - r of the input.  Mirror of
+    :func:`shift_left_w` (sub-word pass + radix-4 word barrel with slice
+    operands of one pre-padded buffer)."""
+    if max_r <= 0:
+        return buf
+    r = r.astype(_I32)
+    rs = (r & 3).astype(_U32)[..., None, :]
+    sa = np.uint32(8) * rs
+    spec = [(0, 0)] * buf.ndim
+    spec[-2] = (1, 0)
+    prv = jnp.pad(buf[..., :-1, :], spec)
+    lo = jnp.where(sa > 0, prv >> (np.uint32(32) - sa), np.uint32(0))
+    buf = jnp.where(sa > 0, (buf << sa) | lo, buf)
+    wq = r >> 2
+    max_wq = max_r >> 2
+    Ww = buf.shape[-2]
+
+    def ext_pad(bb, n):
+        sp = [(0, 0)] * bb.ndim
+        sp[-2] = (n, 0)
+        return jnp.pad(bb, sp)
+
+    def sl(bb, k):
+        lo_i = bb.shape[-2] - Ww - k
+        return jax.lax.slice_in_dim(bb, lo_i, lo_i + Ww, axis=bb.ndim - 2)
+
+    step = 1
+    while step <= max_wq:
+        hi = min(3, max_wq // step)
+        ext = ext_pad(buf, hi * step)
+        sel = jnp.minimum((wq // step) & 3, hi)[..., None, :]
+        sel = jnp.broadcast_to(sel, buf.shape)
+        buf = jax.lax.select_n(sel, *[sl(ext, k * step) for k in range(hi + 1)])
+        step <<= 2
+    return buf
+
+
+# A merge's barrel runs log4 passes over the whole placement window; when the
+# right chunk is much SMALLER than the left chunk's slack (e.g. the ~80-byte
+# prehash placed after a ~6.6 KB vk body with ~4.5 KB of slack), placing it
+# block-aligned is far cheaper: one narrow dynamic sub-block shift of the
+# small content plus a single masked-select scatter pass over the window.
+_SCATTER_MIN_SLACK_RATIO = 8
+
+
+def _merge_w_scatter(a: WChunk, b: WChunk, Ww: int) -> WChunk:
+    """Placement half of :func:`merge_w` for small-b merges: returns the
+    merged chunk with b's bytes starting at byte ``a.length`` — bit-identical
+    to the barrel path (tests/test_ragged_words.py)."""
+    pa = a.buf
+    if pa.shape[-2] < Ww:
+        spec = [(0, 0)] * pa.ndim
+        spec[-2] = (0, Ww - pa.shape[-2])
+        pa = jnp.pad(pa, spec)
+    else:
+        pa = pa[..., :Ww, :]
+    b_w = words_for(b.max_len)
+    # sub-block stage: C words per block; shift b right by t % 4C bytes
+    C = 8
+    while C < b_w:
+        C *= 2
+    Pw = b_w + C
+    pb = b.buf[..., :b_w, :]
+    spec = [(0, 0)] * pb.ndim
+    spec[-2] = (0, Pw - pb.shape[-2])
+    pb = jnp.pad(pb, spec)
+    t = a.length  # byte offset of b's start, in [a.min_len, a.max_len]
+    t_sub = t % np.int32(4 * C)
+    placed = shift_right_w_dyn(pb, t_sub, 4 * C - 1)  # [.., Pw, B]
+    t_blk = (t // np.int32(4 * C)).astype(_I32)[..., None, :]
+    k_min = a.min_len // (4 * C)
+    k_max = a.max_len // (4 * C)
+    nblk = -(-Ww // C)
+    zeros_blk = jnp.zeros(placed.shape[:-2] + (C,) + placed.shape[-1:], _U32)
+    blocks = []
+    for p in range(nblk):
+        acc = None
+        for k in range(max(k_min, p - (Pw - 1) // C), min(k_max, p) + 1):
+            off = (p - k) * C
+            seg = placed[..., off : off + C, :]
+            if seg.shape[-2] < C:
+                sp = [(0, 0)] * seg.ndim
+                sp[-2] = (0, C - seg.shape[-2])
+                seg = jnp.pad(seg, sp)
+            term = jnp.where(t_blk == k, seg, np.uint32(0))
+            acc = term if acc is None else acc | term
+        blocks.append(zeros_blk if acc is None else acc)
+    scat = jnp.concatenate(blocks, axis=-2)[..., :Ww, :]
+    return WChunk(
+        buf=pa | scat,
+        length=a.length + b.length,
+        max_len=a.max_len + b.max_len,
+        min_len=a.min_len + b.min_len,
+    )
+
+
 def merge_w(a: WChunk, b: WChunk) -> WChunk:
     """Concatenate two word-chunk batches: result[i] = a[i] ++ b[i].
 
@@ -216,6 +314,9 @@ def merge_w(a: WChunk, b: WChunk) -> WChunk:
     W = a.max_len + b.max_len
     Ww = words_for(W)
     slack = a.max_len - a.min_len
+    if (slack >= _SCATTER_MIN_SLACK_RATIO * (b.max_len + 4)
+            and a.buf.ndim == b.buf.ndim):
+        return _merge_w_scatter(a, b, Ww)
     # a: already at byte 0; pad to Ww words
     pa = a.buf
     if pa.shape[-2] < Ww:

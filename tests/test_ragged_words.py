@@ -306,3 +306,40 @@ def test_absorb_words_scratch_garbage_ignored():
     b = np.asarray(shake256_squeeze_words(shake256_absorb_words(dirty, lens), 8))
     np.testing.assert_array_equal(a, b)
     assert bytes(np.asarray(rw.unpack_words_to_bytes(jnp.asarray(a), 32))[:, 0]) == shake_256(p).digest(32)
+
+
+def test_merge_w_scatter_matches_barrel():
+    """Small-b merges take the block-scatter placement path; outputs must be
+    bit-identical to the barrel path on ragged inputs that span the whole
+    slack window."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from fusion_cryptography_tpu.ops import ragged_words as rw
+
+    rng = np.random.default_rng(33)
+    B = 16
+    # left chunk: max 1200 bytes, min 120 -> slack 1080 >> b.max 30
+    a_max, a_min, b_max = 1200, 120, 30
+    a_len = rng.integers(a_min, a_max + 1, B).astype(np.int32)
+    b_len = rng.integers(1, b_max + 1, B).astype(np.int32)
+    a_by = np.zeros((rw.words_for(a_max) * 4, B), np.uint8)
+    b_by = np.zeros((rw.words_for(b_max) * 4, B), np.uint8)
+    for k in range(B):
+        a_by[: a_len[k], k] = rng.integers(1, 255, a_len[k])
+        b_by[: b_len[k], k] = rng.integers(1, 255, b_len[k])
+    a = rw.WChunk(rw.pack_bytes_to_words(jnp.asarray(a_by)),
+                  jnp.asarray(a_len), a_max, a_min)
+    b = rw.WChunk(rw.pack_bytes_to_words(jnp.asarray(b_by)),
+                  jnp.asarray(b_len), b_max, 1)
+    got = rw.merge_w(a, b)
+    # force the barrel path for the oracle
+    ratio = rw._SCATTER_MIN_SLACK_RATIO
+    try:
+        rw._SCATTER_MIN_SLACK_RATIO = 10**9
+        want = rw.merge_w(a, b)
+    finally:
+        rw._SCATTER_MIN_SLACK_RATIO = ratio
+    np.testing.assert_array_equal(np.asarray(got.length), np.asarray(want.length))
+    np.testing.assert_array_equal(np.asarray(got.buf), np.asarray(want.buf))
+    assert (got.max_len, got.min_len) == (want.max_len, want.min_len)
