@@ -21,10 +21,22 @@ Pallas kernel per batch tile, so every merge level lives in VMEM:
   (dst + "," + str(list(zip(...))), fusion.py:573-591).
 
 Mosaic-specific deviations from ops/ragged_words (outputs unchanged):
-radix-2 where-chain barrels (select_n is 2-ary in Mosaic), concat-based
-padding (no jnp.pad), template words passed as a [Wc, 1] const-pool input
-(captured array constants are unsupported), separators ORed in as scalar
-word fills.
+radix-2 where-chain barrels (select_n is 2-ary in Mosaic), template words
+passed as a [Wc, 1] const-pool input (captured array constants are
+unsupported), separators ORed in as scalar word fills.
+
+CONCAT-FREE barrels (the round-5b redesign): the first fold_pallas lost to
+the XLA merge tree because every pad/prepend was a ``jnp.concatenate`` —
+a full-buffer VMEM copy, usually sublane-misaligned — and the radix-2
+barrel re-padded per PASS, so the kernel did more vector copies than the
+XLA path did HBM passes.  Now each merge pads its right chunk ONCE to
+``window + R`` (R = the barrel's total worst-case word shift), static word
+moves are ``pltpu.roll`` ops (zero-wrap is safe because bytes at or beyond
+``length`` are zero and the pad bound covers the roll), and every barrel
+pass is two static in-bounds slices + one where, with DESCENDING widths
+(``width_p = window + R_remaining``, processed largest bit first) so late
+passes touch only the live window.  Bit-exactness is unchanged
+(tests/test_fold_pallas.py).
 """
 from __future__ import annotations
 
@@ -49,6 +61,9 @@ DEC_W = rw.DEC_W
 # ---------------------------------------------------------------------------
 
 
+_INTERPRET = False  # set by the public wrappers; selects the roll lowering
+
+
 def _zero_rows(buf, n: int):
     shape = list(buf.shape)
     shape[-2] = n
@@ -68,51 +83,87 @@ def _prepend_rows(buf, n: int):
     return jnp.concatenate([_zero_rows(buf, n), buf], axis=-2)
 
 
+def _roll_rows(buf, shift: int):
+    """Circular roll along the word axis: out[i] = buf[(i - shift) % W].
+
+    ``pltpu.roll`` on the compiled path (a sublane rotate, no copy chain);
+    slice+concat under interpret mode and for >2D values (Mosaic's roll is
+    a 2D vreg op; the >2D callers are the small early cell levels where the
+    concat form is cheap anyway)."""
+    W = buf.shape[-2]
+    shift %= W
+    if shift == 0:
+        return buf
+    if _INTERPRET or buf.ndim != 2:
+        lo = jax.lax.slice_in_dim(buf, W - shift, W, axis=buf.ndim - 2)
+        hi = jax.lax.slice_in_dim(buf, 0, W - shift, axis=buf.ndim - 2)
+        return jnp.concatenate([lo, hi], axis=-2)
+    return pltpu.roll(buf, shift, axis=buf.ndim - 2)
+
+
+def _word_iota(buf):
+    return jax.lax.broadcasted_iota(_I32, buf.shape, buf.ndim - 2)
+
+
 def _shift_right_static(buf, r: int):
-    """ragged_words.shift_right_w_static with concat carry."""
+    """ragged_words.shift_right_w_static: roll-carry, no concat copy."""
     if r == 0:
         return buf
     sh = np.uint32(8 * r)
     csh = np.uint32(32 - 8 * r)
     lo = buf << sh
-    if buf.shape[-2] == 1:  # Mosaic rejects size-0 vectors (single-word chunk)
+    if buf.shape[-2] == 1:  # single-word chunk: no carry source
         return lo
-    carry = jnp.concatenate(
-        [_zero_rows(buf, 1), jax.lax.slice_in_dim(buf, 0, buf.shape[-2] - 1, axis=buf.ndim - 2)],
-        axis=-2,
-    ) >> csh
-    return lo | carry
+    prv = _roll_rows(buf, 1)
+    prv = jnp.where(_word_iota(buf) == 0, np.uint32(0), prv)
+    return lo | (prv >> csh)
 
 
-def _shift_left_w(buf, s, max_s: int):
+def _barrel_bits(max_wq: int):
+    bits = []
+    bit = 1
+    while bit <= max_wq:
+        bits.append(bit)
+        bit <<= 1
+    return bits
+
+
+def _shift_left_w(buf, s, max_s: int, pre_padded: bool = False):
     """ragged_words.shift_left_w: one dynamic sub-word pass + a RADIX-2
-    word barrel (Mosaic's select_n is 2-ary; in VMEM the extra where passes
-    are register traffic, not HBM)."""
+    word barrel.  Concat-free: the buffer is padded ONCE by the barrel's
+    total worst-case word shift R (or arrives ``pre_padded`` by >= R), then
+    every pass is two static in-bounds slices + a where, with descending
+    widths (largest bit first) — the select never sees a pad-created
+    operand and late passes shrink to the live window."""
     if max_s <= 0:
         return buf
     s = s.astype(_I32)
     r = (s & 3).astype(_U32)[..., None, :]
     sa = np.uint32(8) * r
-    if buf.shape[-2] == 1:  # Mosaic rejects size-0 vectors
+    if buf.shape[-2] == 1:
         nxt = _zero_rows(buf, 1)
     else:
-        nxt = jnp.concatenate(
-            [jax.lax.slice_in_dim(buf, 1, buf.shape[-2], axis=buf.ndim - 2), _zero_rows(buf, 1)],
-            axis=-2,
-        )
+        nxt = _roll_rows(buf, -1)
+        nxt = jnp.where(_word_iota(buf) == buf.shape[-2] - 1, np.uint32(0), nxt)
     hi = jnp.where(sa > 0, nxt << (np.uint32(32) - sa), np.uint32(0))
     buf = jnp.where(sa > 0, (buf >> sa) | hi, buf)
     wq = s >> 2
     max_wq = max_s >> 2
-    Ww = buf.shape[-2]
-    bit = 1
-    while bit <= max_wq:
-        ext = _pad_rows(buf, bit)
-        take = jnp.broadcast_to(((wq & bit) != 0)[..., None, :], buf.shape)
-        buf = jnp.where(
-            take, jax.lax.slice_in_dim(ext, bit, bit + Ww, axis=ext.ndim - 2), buf
-        )
-        bit <<= 1
+    bits = _barrel_bits(max_wq)
+    if not bits:
+        return buf
+    R = sum(bits)
+    if not pre_padded:
+        buf = _pad_rows(buf, R)
+    Ww = buf.shape[-2] - R  # output width
+    rem = R
+    for bit in reversed(bits):
+        rem -= bit
+        w_out = Ww + rem
+        take = ((wq & bit) != 0)[..., None, :]
+        cur = jax.lax.slice_in_dim(buf, 0, w_out, axis=buf.ndim - 2)
+        sh = jax.lax.slice_in_dim(buf, bit, bit + w_out, axis=buf.ndim - 2)
+        buf = jnp.where(take, sh, cur)
     return buf
 
 
@@ -129,7 +180,12 @@ def _mask_tail_w(buf, length):
 
 
 def _merge_w(a: rw.WChunk, b: rw.WChunk) -> rw.WChunk:
-    """ragged_words.merge_w, concat-padded (same narrow-barrel algebra)."""
+    """ragged_words.merge_w with ONE pad + roll placement per merge.
+
+    b is padded once to ``nw + P`` (P covers both the barrel headroom R and
+    the static placement roll), statically sub-word-shifted (roll carry),
+    rolled to word ``q0 // 4`` (wrap-safe: the pad bound keeps the wrapped
+    words zero), then barrel-shifted in place with descending widths."""
     W = a.max_len + b.max_len
     Ww = rw.words_for(W)
     slack = a.max_len - a.min_len
@@ -144,15 +200,19 @@ def _merge_w(a: rw.WChunk, b: rw.WChunk) -> rw.WChunk:
     lr = q0 % 4
     pb = b.buf
     need = rw.words_for(b.max_len + lr)
-    if pb.shape[-2] < need:
-        pb = _pad_rows(pb, need - pb.shape[-2])
-    pb = _shift_right_static(pb, lr)
-    pb = _prepend_rows(pb, q0 // 4)
-    if pb.shape[-2] < nw:
-        pb = _pad_rows(pb, nw - pb.shape[-2])
+    R = sum(_barrel_bits(slack >> 2))
+    P = max(R, q0 // 4 + need - nw, 0)
+    if pb.shape[-2] < nw + P:
+        pb = _pad_rows(pb, nw + P - pb.shape[-2])
     else:
+        pb = jax.lax.slice_in_dim(pb, 0, nw + P, axis=pb.ndim - 2)
+    pb = _shift_right_static(pb, lr)
+    pb = _roll_rows(pb, q0 // 4)
+    if P > R:
+        pb = jax.lax.slice_in_dim(pb, 0, nw + R, axis=pb.ndim - 2)
+    pb = _shift_left_w(pb, a.max_len - a.length, slack, pre_padded=R > 0)
+    if pb.shape[-2] > nw:  # R == 0 but P > 0: sub-word-only barrel kept P
         pb = jax.lax.slice_in_dim(pb, 0, nw, axis=pb.ndim - 2)
-    pb = _shift_left_w(pb, a.max_len - a.length, slack)
     pb = _prepend_rows(pb, base_w)
     return rw.WChunk(
         buf=pa | pb,
@@ -373,6 +433,8 @@ def _signer_a_call(params, tile: int, interpret: bool):
         vkl_ref[:] = vkl[None, :]
 
     def call(vk2d_t, pre_w, pre_len):
+        global _INTERPRET
+        _INTERPRET = interpret
         B = vk2d_t.shape[-1]
         grid = (B // tile,)
         col = lambda i: (0, i)
@@ -460,6 +522,8 @@ def _signer_b_call(params, tile: int, interpret: bool):
         trit_ref[:] = trit[None, :]
 
     def call(vk_buf, vk_len, pre_w, pre_len, c_hat_t):
+        global _INTERPRET
+        _INTERPRET = interpret
         B = vk_buf.shape[-1]
         grid = (B // tile,)
         col = lambda i: (0, i)
@@ -523,6 +587,8 @@ def _agg_fold_call(params, n_signers: int, tile: int, interpret: bool):
         ot_ref[:] = ot[None, :]
 
     def call(tbs: Sequence, tls: Sequence):
+        global _INTERPRET
+        _INTERPRET = interpret
         G = tbs[0].shape[-1]
         grid = (G // tile,)
         col = lambda i: (0, i)
