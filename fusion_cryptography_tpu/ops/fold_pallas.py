@@ -222,7 +222,122 @@ def _merge_w(a: rw.WChunk, b: rw.WChunk) -> rw.WChunk:
     )
 
 
+def _expand_block(v, block_w: int):
+    """[nb, B] per-block values -> [nb*block_w, B] (broadcast along the block
+    words; the reshape is tile-aligned because block_w is a multiple of 8)."""
+    nb, B = v.shape
+    return jnp.broadcast_to(v[:, None, :], (nb, block_w, B)).reshape(
+        nb * block_w, B
+    )
+
+
+def _flat_byte_lt_mask(W: int, block_w: int, upto_bytes, B: int):
+    """uint32[W, B] mask keeping block-local bytes < ``upto_bytes`` [nb, B]."""
+    lw = jax.lax.broadcasted_iota(_I32, (W, B), 0) & np.int32(block_w - 1)
+    keep = jnp.clip(_expand_block(upto_bytes, block_w) - 4 * lw, 0, 4)
+    return jnp.where(
+        keep >= 4,
+        np.uint32(0xFFFFFFFF),
+        (np.uint32(1) << (np.uint32(8) * keep.astype(_U32))) - np.uint32(1),
+    )
+
+
+def _merge_cells_flat(cells: rw.WChunk) -> rw.WChunk:
+    """Power-of-two flat-slot merge tree: the whole [K, cw, B] cell batch
+    lives in ONE [K*S, B] buffer (each node in a static power-of-two slot,
+    zeros elsewhere) and every level is a global LEFT-SHIFT DELETION:
+
+      odd_only = level & (bytes in the odd half below its content end)
+      left     = level & (bytes below len_even)       # also zeroes odd half
+      merged   = left | shift_left(odd_only, slot_bytes - len_even)
+
+    The left shift uses global circular rolls: entering bytes always come
+    from the NEXT block's left region, which odd_only zeroed — so no pass
+    needs a boundary mask and no contamination survives (content never
+    reaches the last ``slot - 13*2^l`` bytes of a block).  Every operand is
+    the full [K*S, B] buffer -> full vreg occupancy at every level, one
+    where per barrel bit, zero concats.  Bit-identical to merge_cells_w
+    (same concatenation, associativity), asserted in tests/test_fold_pallas.
+    """
+    K0, cw_w, B = cells.buf.shape
+    if K0 == 1:
+        return rw.WChunk(cells.buf[0], cells.length[0], cells.max_len, cells.min_len)
+    Kp = 1
+    while Kp < K0:
+        Kp *= 2
+    buf = cells.buf
+    lens = cells.length.astype(_I32)
+    min_cell = cells.min_len if Kp == K0 else 0
+    if cw_w < 4:
+        buf = _pad_rows(buf, 4 - cw_w)
+    if Kp != K0:  # pad with EMPTY cells (length 0 => concat no-ops)
+        buf = jnp.concatenate(
+            [buf, jnp.zeros((Kp - K0, buf.shape[1], B), _U32)], axis=0
+        )
+        lens = jnp.concatenate([lens, jnp.zeros((Kp - K0, B), _I32)], axis=0)
+    # level 0 on the K-leading axis (4-word windows; the flat levels need
+    # 8-word-aligned slots, which pairs of 4-word cells provide)
+    pr = buf.reshape(Kp // 2, 2, buf.shape[1], B)
+    lr = lens.reshape(Kp // 2, 2, B)
+    even = rw.WChunk(pr[:, 0], lr[:, 0], cells.max_len, min_cell)
+    odd = rw.WChunk(pr[:, 1], lr[:, 1], cells.max_len, min_cell)
+    m0 = _merge_w(even, odd)
+    M = Kp // 2
+    S = 8  # words per node slot
+    pb = m0.buf
+    if pb.shape[1] < S:
+        pb = _pad_rows(pb, S - pb.shape[1])
+    flat = pb.reshape(M * S, B)
+    lens = m0.length
+    lmax = 2 * cells.max_len  # static bound on node content bytes (< 4*S)
+    while M > 1:
+        nb = M // 2
+        W = flat.shape[0]
+        block_w = 2 * S
+        lp = lens.reshape(nb, 2, B)
+        b, lo_ = lp[:, 0], lp[:, 1]
+        # odd halves, cleaned of carried tail garbage, left region zeroed
+        # (the odd half starts at the word-aligned static byte 4*S)
+        lw = jax.lax.broadcasted_iota(_I32, (W, B), 0) & np.int32(block_w - 1)
+        odd_only = jnp.where(lw >= S, flat, np.uint32(0)) & _flat_byte_lt_mask(
+            W, block_w, np.int32(4 * S) + lo_, B
+        )
+        left = flat & _flat_byte_lt_mask(W, block_w, b, B)
+        # shift odd_only LEFT by s = 4*S - b bytes (block-local semantics via
+        # global rolls: entering bytes are the next block's zeroed left half)
+        s = np.int32(4 * S) - b
+        r = (s & 3).astype(_U32)
+        r_exp = _expand_block(r.astype(_I32), block_w).astype(_U32)
+        nxt = _roll_rows(odd_only, -1)
+        hi = jnp.where(
+            r_exp > 0, nxt << (np.uint32(32) - np.uint32(8) * r_exp), np.uint32(0)
+        )
+        odd_only = jnp.where(
+            r_exp > 0, (odd_only >> (np.uint32(8) * r_exp)) | hi, odd_only
+        )
+        wq = s >> 2
+        bit = 1
+        while bit <= S:
+            take = _expand_block(((wq & bit) != 0).astype(_I32), block_w) != 0
+            flat_sh = _roll_rows(odd_only, -bit)
+            odd_only = jnp.where(take, flat_sh, odd_only)
+            bit <<= 1
+        flat = left | odd_only
+        lens = b + lo_
+        M = nb
+        S = 2 * S
+        lmax = 2 * lmax
+    return rw.WChunk(
+        buf=flat,
+        length=lens[0],
+        max_len=K0 * cells.max_len,
+        min_len=K0 * cells.min_len,
+    )
+
+
 def _merge_cells_w(cells: rw.WChunk) -> rw.WChunk:
+    if cells.buf.shape[0] >= 8 and cells.buf.shape[1] <= 4 and cells.max_len < 16:
+        return _merge_cells_flat(cells)
     tails = []
     cur = cells
     while cur.buf.shape[0] > 1:

@@ -165,7 +165,7 @@ def _pallas_selfcheck() -> bool:
 
 def make_stages(params: Params, n_signers: int, use_pallas: bool,
                 use_words: bool = None, pallas_sponge: bool = False,
-                pallas_assembly: bool = False):
+                pallas_assembly: bool = False, pallas_folds: bool = False):
     """The lane-major hash stages shared by grouped verify (this module) and
     the on-device benchmark setup (scheme/device_setup.py).
 
@@ -258,6 +258,21 @@ def make_stages(params: Params, n_signers: int, use_pallas: bool,
         output; the vk subtree is assembled per-spec there, which the VMEM
         residency more than pays for)."""
         B = vk2d_t.shape[-1]
+        if pallas_folds and B % 128 == 0:
+            from ..ops import fold_pallas as fp
+
+            chb, cht, vkb, vkl = fp.signer_fold_a(
+                params, vk2d_t, pre_chunk.buf, pre_chunk.length
+            )
+            xw = _sponge_words(chb, cht, -(-g["n_xof_ch_used"] // 4), g["ch_min"])
+            cc_t = xof_decode.decode_coeffs_w(xw, g["geom_ch"], g["n_xof_ch_used"])
+            cc = cc_t.T
+            c_hat_u = ntt_fwd_u(plan, F.to_unsigned(cc))  # [B, d]
+            c_hat_t = F.to_centered(c_hat_u).T  # [d, B]
+            tbuf, tlen = fp.signer_fold_b(
+                params, vkb, vkl, pre_chunk.buf, pre_chunk.length, c_hat_t
+            )
+            return cc, c_hat_u, tbuf, tlen
         if pallas_assembly and B % 1024 == 0:
             from ..ops.assemble_pallas import assemble_pallas
 
@@ -446,7 +461,8 @@ def _pipeline_cached(params: Params, n_signers: int, use_pallas: bool,
                      pallas_sponge: bool = False,
                      pallas_assembly: bool = False,
                      fused_prep: bool = False,
-                     mxu_intt: bool = False):
+                     mxu_intt: bool = False,
+                     pallas_folds: bool = False):
     """Build the grouped-verify stage functions for one (params, N) shape and
     one pipeline-flavor flag tuple (the env knobs are folded into this cache
     key by :func:`get_pipeline`, so toggling them mid-process takes effect on
@@ -470,7 +486,7 @@ def _pipeline_cached(params: Params, n_signers: int, use_pallas: bool,
     a_mont = F.to_mont(F.to_unsigned(jnp.asarray(params.public_challenge)))
     signer_stage, group_stage = make_stages(
         params, N, use_pallas, use_words=use_words, pallas_sponge=pallas_sponge,
-        pallas_assembly=pallas_assembly,
+        pallas_assembly=pallas_assembly, pallas_folds=pallas_folds,
     )
     device_prehash = device_prehash and signer_stage.prehash is not None
 
@@ -768,6 +784,15 @@ def _env_flags():
         pallas_sponge and os.environ.get("FUSION_PALLAS_ASSEMBLY")
     )
     fused_prep = bool(os.environ.get("FUSION_FUSED_PREP"))
+    # FUSION_FOLD_PALLAS=1: signer preimage folds from the flat-slot VMEM
+    # merge kernels (ops/fold_pallas) instead of the XLA merge tree
+    pallas_folds = bool(
+        use_words
+        and os.environ.get("FUSION_FOLD_PALLAS")
+        and os.environ.get("FUSION_FOLD_PALLAS") != "0"
+        and not os.environ.get("FUSION_DISABLE_PALLAS")
+        and _pallas_selfcheck()
+    )
     # MXU dense INTT for the lattice norm/weight check: default wherever the
     # Pallas sponge runs (TPU + selfcheck), FUSION_MXU_INTT=0/1 overrides
     mi_env = os.environ.get("FUSION_MXU_INTT")
@@ -778,7 +803,7 @@ def _env_flags():
     else:
         mxu_intt = pallas_sponge
     return (use_pallas, use_words, device_prehash, pallas_sponge,
-            pallas_assembly, fused_prep, mxu_intt)
+            pallas_assembly, fused_prep, mxu_intt, pallas_folds)
 
 
 def get_pipeline(params: Params, n_signers: int):
