@@ -275,7 +275,8 @@ def shake256_absorb_lanes(buf, lens) -> Lanes:
     return _absorb_blocks(blocks, n_blocks, buf.shape[0])
 
 
-def _absorb_blocks(blocks, n_blocks, B: int, min_blocks: int = 0) -> Lanes:
+def _absorb_blocks(blocks, n_blocks, B: int, min_blocks: int = 0,
+                   state: Lanes = None) -> Lanes:
     """Masked sponge over pre-built rate blocks [max_blocks, 17, 2, B].
 
     ``min_blocks``: statically-known lower bound on every lane's block count
@@ -283,9 +284,13 @@ def _absorb_blocks(blocks, n_blocks, B: int, min_blocks: int = 0) -> Lanes:
     length).  The first ``min_blocks`` blocks absorb WITHOUT the per-lane
     liveness merge (50 selects per block) — for near-uniform ragged payloads
     that is ~95% of the blocks.
+
+    ``state``: optional lane-tuple to CONTINUE absorbing into (segmented
+    absorb); defaults to the zero state.
     """
-    zero = jnp.zeros((B,), _U32)
-    state = tuple((zero, zero) for _ in range(25))
+    if state is None:
+        zero = jnp.zeros((B,), _U32)
+        state = tuple((zero, zero) for _ in range(25))
     mb = blocks.shape[0]
     min_blocks = max(0, min(min_blocks, mb))
 
@@ -387,6 +392,76 @@ def shake256_absorb_words(words, lens, min_len: int = 0,
         jnp.asarray(words, _U32), jnp.asarray(lens), assume_clean=assume_clean
     )
     return _absorb_blocks(blocks, n_blocks, words.shape[-1], min_blocks=min_len // RATE)
+
+
+def shake256_absorb_segments_words(segments, pad_head: int = 0x1F) -> Lanes:
+    """Absorb the per-lane CONCATENATION of ragged packed-word segments
+    without ever materializing it.
+
+    ``segments``: sequence of ``(words uint32[Wk, B], lens int[B], min_len,
+    max_len)`` in the ops/ragged_words normal form (bytes at or beyond
+    ``lens`` are ZERO).  Bit-exact twin of ``shake256_absorb_words`` applied
+    to the folded concatenation.
+
+    Why this beats assembling first: a segment's placement inside the
+    stream only matters MODULO the 136-byte rate.  Each segment is shifted
+    right by the carried fill (< 136 bytes — a 4-pass barrel over the
+    segment width, vs the ~7-pass full-slack barrel of a merge fold), OR'd
+    into the carried partial rate block, and its completed blocks absorbed
+    with a per-lane live count; the leftover partial block becomes the new
+    carry.  The final multi-rate padding (domain byte at the stream length,
+    0x80 at the block end) is applied to the last carry.
+
+    Reference behavior reproduced: the ``str()`` concatenations feeding
+    SHAKE256 at /root/reference/fusion/fusion.py:417 and :586-589.
+    """
+    from . import ragged_words as rw
+
+    B = segments[0][0].shape[-1]
+    state: Lanes = None
+    carry = None  # first segment: stream starts block-aligned, no shift
+    fill = jnp.zeros((B,), jnp.int32)
+    for words, lens, mn, mx in segments:
+        words = jnp.asarray(words, _U32)
+        lens = jnp.asarray(lens).astype(jnp.int32)
+        nb_max = (RATE - 1 + mx) // RATE  # most blocks this segment can close
+        W2 = RATE_WORDS * (nb_max + 1)
+        Wk = words.shape[0]
+        pb = jnp.pad(words, ((0, W2 - Wk), (0, 0))) if W2 > Wk else words[:W2]
+        if carry is not None:
+            pb = rw.shift_right_w_dyn(pb, fill, RATE - 1)
+            pb = pb | jnp.pad(carry, ((0, W2 - RATE_WORDS), (0, 0)))
+        newlen = fill + lens
+        nfull = newlen // RATE
+        if nb_max > 0:
+            blocks = pb[: RATE_WORDS * nb_max].reshape(nb_max, RATE_LANES, 2, B)
+            # nfull = (fill + len)//RATE >= mn//RATE holds for EVERY segment
+            state = _absorb_blocks(blocks, nfull, B, min_blocks=mn // RATE,
+                                   state=state)
+            sel = jnp.broadcast_to(
+                jnp.minimum(nfull, nb_max)[None, :], (RATE_WORDS, B)
+            ).astype(jnp.int32)
+            cands = [
+                jax.lax.slice_in_dim(pb, k * RATE_WORDS, (k + 1) * RATE_WORDS,
+                                     axis=0)
+                for k in range(nb_max + 1)
+            ]
+            carry = jax.lax.select_n(sel, *cands)
+        else:
+            carry = pb[:RATE_WORDS]
+        fill = newlen - nfull * RATE
+    wi = jax.lax.broadcasted_iota(jnp.int32, (RATE_WORDS, B), 0)
+    head = jnp.where(
+        wi == (fill >> 2)[None, :],
+        np.uint32(pad_head) << (np.uint32(8) * (fill & 3).astype(_U32))[None, :],
+        np.uint32(0),
+    )
+    blk = carry | head
+    blk = blk.at[RATE_WORDS - 1].set(blk[RATE_WORDS - 1] | np.uint32(0x80000000))
+    return _absorb_blocks(
+        blk.reshape(1, RATE_LANES, 2, B), jnp.full((B,), 1, jnp.int32), B,
+        min_blocks=1, state=state,
+    )
 
 
 def sha3_256_words(words, lens):
